@@ -1,0 +1,146 @@
+"""Kmer engine parity tests against a brute-force python counter that
+follows the reference semantics (BuildReadQGraph.cc:962-1110) literally."""
+
+import numpy as np
+import pytest
+
+from w2rap_contigger_tpu.core import dna
+from w2rap_contigger_tpu.ops import bitkmer as bk
+from w2rap_contigger_tpu.ops import kmer_engine as ke
+from w2rap_contigger_tpu.ops import lookup
+
+
+def brute_good_length(quals, length, k, min_qual):
+    """Literal transcription of count_good_lengths semantics."""
+    good = 0
+    for i in range(length - 1, -1, -1):
+        if quals[i] < min_qual:
+            good = 0
+        else:
+            good += 1
+            if good == k:
+                return i + k
+    return 0
+
+
+def brute_count(bases, lengths, quals, k, min_qual):
+    """Canonical kmer -> [count, ctx] with per-occurrence canonical ctx."""
+    table = {}
+    n = bases.shape[0]
+    for r in range(n):
+        glen = brute_good_length(quals[r], int(lengths[r]), k, min_qual)
+        if glen <= k:
+            continue
+        codes = bases[r][:glen]
+        for p in range(glen - k + 1):
+            kmer = codes[p : p + k]
+            ctx = 0
+            if p > 0:
+                ctx |= (1 << int(codes[p - 1])) << 4
+            if p + k < glen:
+                ctx |= 1 << int(codes[p + k])
+            canon, was_rc = dna.canonical_codes(kmer)
+            if was_rc:
+                pred = (ctx >> 4) & 0xF
+                succ = ctx & 0xF
+
+                def rcb(b):
+                    return (
+                        ((b & 1) << 3)
+                        | ((b & 2) << 1)
+                        | ((b & 4) >> 1)
+                        | ((b & 8) >> 3)
+                    )
+
+                ctx = (rcb(succ) << 4) | rcb(pred)
+            key = canon.tobytes()
+            if key not in table:
+                table[key] = [0, 0]
+            table[key][0] = min(255, table[key][0] + 1)
+            table[key][1] |= ctx
+    return table
+
+
+def make_reads(rng, n, L, with_quals=True):
+    bases = rng.integers(0, 4, size=(n, L)).astype(np.uint8)
+    lengths = rng.integers(L // 2, L + 1, size=n).astype(np.int32)
+    if with_quals:
+        quals = rng.integers(0, 41, size=(n, L)).astype(np.uint8)
+    else:
+        quals = np.full((n, L), 35, dtype=np.uint8)
+    return bases, lengths, quals
+
+
+def test_good_lengths_matches_reference(rng):
+    k, min_qual = 9, 7
+    bases, lengths, quals = make_reads(rng, 200, 60)
+    # make some quals low so runs break
+    quals = np.where(rng.random((200, 60)) < 0.3, 3, quals).astype(np.uint8)
+    import jax.numpy as jnp
+
+    got = np.asarray(
+        ke.good_lengths(jnp.asarray(quals), jnp.asarray(lengths), k, min_qual)
+    )
+    for i in range(200):
+        assert got[i] == brute_good_length(quals[i], int(lengths[i]), k, min_qual)
+
+
+@pytest.mark.parametrize("k", [9, 31, 60])
+def test_count_kmers_parity(rng, k):
+    L = max(40, k + 20)
+    bases, lengths, quals = make_reads(rng, 300, L)
+    quals = np.where(rng.random((300, L)) < 0.15, 3, quals).astype(np.uint8)
+    # duplicate some reads to get counts > 1
+    bases = np.concatenate([bases, bases[:100]], axis=0)
+    lengths = np.concatenate([lengths, lengths[:100]])
+    quals = np.concatenate([quals, quals[:100]], axis=0)
+
+    d, hist = ke.count_kmers(
+        bases, lengths, quals, k, min_qual=7, min_freq=1, chunk_reads=64, pad_quantum=1024
+    )
+    expect = brute_count(bases, lengths, quals, k, 7)
+
+    got_keys = [
+        bk.unpack_words(d.words[i], k).tobytes() for i in range(d.size)
+    ]
+    assert len(got_keys) == len(expect), (len(got_keys), len(expect))
+    # sorted canonical order must match sorted byte order of code strings
+    assert got_keys == sorted(expect.keys())
+    for i, key in enumerate(got_keys):
+        assert int(d.counts[i]) == expect[key][0], f"count mismatch @{i}"
+        assert int(d.ctx[i]) == expect[key][1], f"ctx mismatch @{i}"
+    # histogram totals
+    assert hist.sum() == len(expect)
+
+
+def test_count_kmers_min_freq_filter(rng):
+    k = 15
+    bases, lengths, quals = make_reads(rng, 50, 40, with_quals=False)
+    bases = np.concatenate([bases] * 5, axis=0)  # every kmer count >= 5
+    lengths = np.concatenate([lengths] * 5)
+    quals = np.concatenate([quals] * 5, axis=0)
+    d_all, _ = ke.count_kmers(bases, lengths, quals, k, min_freq=1, pad_quantum=1024)
+    d_filt, _ = ke.count_kmers(bases, lengths, quals, k, min_freq=5, pad_quantum=1024)
+    assert d_filt.size <= d_all.size
+    assert np.all(d_filt.counts >= 5)
+    # every count-5 kmer of d_all survives
+    assert d_filt.size == int(np.sum(d_all.counts >= 5))
+
+
+def test_lookup_words(rng):
+    k = 60
+    codes = rng.integers(0, 4, size=(500, k)).astype(np.uint8)
+    words = bk.pack_codes(codes, k)
+    # sort rows lexicographically via bytes
+    order = np.argsort([w.tobytes() for w in words.astype(">u4")])
+    table = words[order]
+    idx, found = lookup.lookup_words(table, table[::7])
+    assert bool(np.all(np.asarray(found)))
+    np.testing.assert_array_equal(np.asarray(idx), np.arange(500)[::7])
+    # queries not in table
+    other = bk.pack_codes(rng.integers(0, 4, size=(64, k)).astype(np.uint8), k)
+    in_table = np.array(
+        [o.tobytes() in {t.tobytes() for t in table} for o in other]
+    )
+    _, found2 = lookup.lookup_words(table, other)
+    np.testing.assert_array_equal(np.asarray(found2), in_table)

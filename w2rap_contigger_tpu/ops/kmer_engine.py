@@ -1,0 +1,373 @@
+"""The sorted-kmer engine — TPU-native replacement for the reference's
+concurrent hash dictionary build (createDictOMPRecursive,
+src/paths/long/BuildReadQGraph.cc:1015-1110).
+
+Design: sorting is the TPU's hash table.
+
+  reads (N,L) --pack--> 2-bit rows --window-shift--> canonical kmer words
+      --lax.sort (4xuint32 lexicographic keys)--> runs of equal kmers
+      --segmented scan + searchsorted compaction--> (kmer, count, context)
+
+Per-chunk results are merged by a second sort+collapse pass (the
+reference merges sorted vectors pairwise across OMP tasks; we merge by
+re-sorting concatenated unique lists, which XLA pipelines well).  Counts
+saturate at 255 exactly like the reference's uint8 KMerNodeFreq::count
+(BuildReadQGraph.cc:948-952 combine_Entries).
+
+Quality gating reproduces count_good_lengths (BuildReadQGraph.cc:962-987):
+a read is truncated at the end of its RIGHTMOST window of K consecutive
+bases with qual >= minQual; reads whose truncated length is not > K
+contribute no kmers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import bitkmer as bk
+from . import context as kctx
+
+U32 = jnp.uint32
+FULL = np.uint32(0xFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# quality gating
+# ---------------------------------------------------------------------------
+
+
+def good_lengths(quals, lengths, k: int, min_qual: int):
+    """Per-read usable prefix length (vectorized count_good_lengths).
+
+    quals: (N, L) uint8; lengths: (N,) int32.  Returns (N,) int32.
+    """
+    n, L = quals.shape
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    good = (quals >= np.uint8(min_qual)) & (pos < lengths[:, None])
+    # next_bad[i] = smallest j >= i with a bad base (L if none)
+    badpos = jnp.where(good, jnp.int32(L), pos)
+    next_bad = jax.lax.cummin(badpos, axis=1, reverse=True)
+    run = next_bad - pos  # good-run length starting at i
+    ok = run >= k
+    i_max = jnp.max(jnp.where(ok, pos, -1), axis=1)
+    return jnp.where(i_max >= 0, i_max + k, 0).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# kmerization
+# ---------------------------------------------------------------------------
+
+
+def pack_rows(bases):
+    """(N, L) uint8 codes -> (N, ceil(L/16)) uint32 big-endian 2-bit rows."""
+    n, L = bases.shape
+    W = (L + 15) // 16
+    padded = jnp.zeros((n, W * 16), dtype=U32).at[:, :L].set(bases.astype(U32))
+    shifts = (30 - 2 * np.arange(16)).astype(np.uint32)
+    # shifted 2-bit fields occupy disjoint bits, so sum == bitwise or
+    return jnp.sum(
+        padded.reshape(n, W, 16) << shifts[None, None, :],
+        axis=-1,
+        dtype=U32,
+    )
+
+
+def kmer_windows(packed, k: int, n_pos: int):
+    """Extract packed kmer words for every window position.
+
+    packed: (N, WR) uint32 rows; returns (N, n_pos, W) uint32 where window
+    p covers bases [p, p+k).
+    """
+    n, WR = packed.shape
+    W = bk.nwords(k)
+    p = np.arange(n_pos)
+    widx = (p >> 4)[:, None] + np.arange(W + 1)[None, :]  # (n_pos, W+1)
+    widx = np.minimum(widx, WR - 1)  # clamp; tail windows are masked later
+    sh = (2 * (p & 15)).astype(np.uint32)  # (n_pos,)
+    g = packed[:, widx]  # (N, n_pos, W+1)
+    hi = g[:, :, :W]
+    lo = g[:, :, 1:]
+    sh_b = jnp.asarray(sh)[None, :, None]
+    combined = jnp.where(
+        sh_b == 0, hi, (hi << sh_b) | (lo >> (np.uint32(32) - sh_b))
+    )
+    # zero the pad bits below base k-1 in the last word
+    pad = 2 * (16 * W - k)
+    if pad:
+        mask = np.uint32((0xFFFFFFFF >> pad) << pad)
+        combined = combined.at[:, :, W - 1].set(combined[:, :, W - 1] & mask)
+    return combined
+
+
+@functools.partial(jax.jit, static_argnames=("k", "min_qual"))
+def kmerize_chunk(bases, lengths, quals, k: int, min_qual: int):
+    """Per-chunk kmerization + canonicalization.
+
+    Returns (words (N*P, W) uint32 canonical [sentinel FULL where invalid],
+             ctx   (N*P,)  uint32 context byte,
+             valid (N*P,)  bool).
+    """
+    n, L = bases.shape
+    P = L - k + 1
+    glen = good_lengths(quals, lengths, k, min_qual)
+
+    packed = pack_rows(bases)
+    words = kmer_windows(packed, k, P)  # (N, P, W)
+
+    pos = jnp.arange(P, dtype=jnp.int32)[None, :]
+    # reference: only reads with glen > k emit kmers, positions 0..glen-k
+    n_kmers = jnp.where(glen > k, glen - k + 1, 0)[:, None]
+    valid = pos < n_kmers
+
+    # context bases: pred = bases[pos-1] (pos>0), succ = bases[pos+k] (pos+k<glen)
+    has_pred = (pos > 0) & valid
+    succ_idx = jnp.broadcast_to(jnp.minimum(pos + k, L - 1), (n, P))
+    has_succ = (pos + k < glen[:, None]) & valid
+    pred_idx = jnp.broadcast_to(jnp.maximum(pos - 1, 0), (n, P))
+    pred_code = jnp.take_along_axis(bases, pred_idx, axis=1).astype(U32)
+    succ_code = jnp.take_along_axis(bases, succ_idx, axis=1).astype(U32)
+    ctx = kctx.make_context(
+        pred_code, succ_code, has_pred.astype(U32), has_succ.astype(U32)
+    )
+
+    canon, is_rev = bk.canonicalize(words, k)
+    ctx = jnp.where(is_rev, kctx.rc_context(ctx), ctx)
+
+    W = canon.shape[-1]
+    canon = jnp.where(valid[:, :, None], canon, FULL)
+    ctx = jnp.where(valid, ctx, 0)
+    return (
+        canon.reshape(n * P, W),
+        ctx.reshape(n * P),
+        valid.reshape(n * P),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort + collapse
+# ---------------------------------------------------------------------------
+
+
+def _seg_or_scan(ctx, is_start):
+    """Segmented OR scan over contiguous segments marked by is_start."""
+
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av | bv), af | bf
+
+    vals, _ = jax.lax.associative_scan(
+        combine, (ctx, is_start), axis=0
+    )
+    return vals
+
+
+@functools.partial(jax.jit, static_argnames=("w",))
+def sort_collapse(words, ctx, counts, w: int):
+    """Sort kmer rows and collapse equal keys.
+
+    words: (M, w) uint32 (invalid rows must be all-FULL sentinels)
+    ctx:   (M,) uint32 context bytes
+    counts:(M,) int32 partial counts (0 for invalid rows)
+
+    Returns (sorted unique words (M, w) [tail = sentinel], ctx, counts,
+    n_unique:int32).  Counts saturate at 255.
+    """
+    M = words.shape[0]
+    ops = [words[:, i] for i in range(w)] + [ctx, counts.astype(jnp.int32)]
+    sorted_ops = jax.lax.sort(ops, num_keys=w)
+    sw = jnp.stack(sorted_ops[:w], axis=-1)
+    sctx = sorted_ops[w]
+    scnt = sorted_ops[w + 1]
+
+    prev = jnp.roll(sw, 1, axis=0)
+    is_start = ~bk.words_eq(sw, prev)
+    is_start = is_start.at[0].set(True)
+    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # sorted, 0-based
+
+    # context OR and count sum via segmented scans (no scatter)
+    ctx_scan = _seg_or_scan(sctx, is_start)
+
+    def add_combine(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av + bv), af | bf
+
+    cnt_scan, _ = jax.lax.associative_scan(
+        add_combine, (scnt, is_start), axis=0
+    )
+
+    # compaction without scatter: argsort segment-start markers so slot j
+    # holds the row index where segment j begins.
+    jidx = jnp.arange(M, dtype=jnp.int32)
+    start_key = jnp.where(is_start, seg, jnp.int32(M))
+    start_pos = jnp.argsort(start_key).astype(jnp.int32)
+
+    # number of unique VALID kmers: valid rows (count > 0) sort before the
+    # all-FULL sentinel rows.
+    total_valid = jnp.sum((scnt > 0).astype(jnp.int32))
+    n_unique = jnp.where(
+        total_valid > 0, seg[jnp.maximum(total_valid - 1, 0)] + 1, 0
+    )
+
+    # segment j ends right before segment j+1 starts; the last valid
+    # segment always ends at total_valid-1.
+    nxt = jnp.concatenate([start_pos[1:], jnp.full((1,), M, jnp.int32)])
+    end_pos = jnp.where(jidx == n_unique - 1, total_valid - 1, nxt - 1)
+    end_pos = jnp.clip(end_pos, 0, M - 1)
+
+    out_words = sw[start_pos]
+    out_ctx = ctx_scan[end_pos]
+    out_cnt = jnp.minimum(cnt_scan[end_pos], 255)
+    # mask tail slots to sentinel
+    tail = jidx >= n_unique
+    out_words = jnp.where(tail[:, None], FULL, out_words)
+    out_ctx = jnp.where(tail, 0, out_ctx)
+    out_cnt = jnp.where(tail, 0, out_cnt)
+    return out_words, out_ctx, out_cnt, n_unique
+
+
+# ---------------------------------------------------------------------------
+# host orchestration
+# ---------------------------------------------------------------------------
+
+
+class KmerDict:
+    """Sorted canonical kmer dictionary (host mirror).
+
+    Replaces KmerDict<K>/HashSet (src/kmers/ReadPather.h:177): the table is
+    a lexicographically sorted array of canonical kmers; lookup is binary
+    search (ops.lookup).  Fields edge_id/edge_offset/edge_rc are filled by
+    graph construction (graph.build), mirroring KDef (ReadPather.h:104).
+    """
+
+    def __init__(self, words, counts, ctx, k):
+        self.words = words  # (M, W) uint32 sorted
+        self.counts = counts  # (M,) int32
+        self.ctx = ctx  # (M,) uint8/uint32 context bytes
+        self.k = k
+        self.edge_id = None  # (M,) int32
+        self.edge_offset = None  # (M,) int32
+        self.edge_rc = None  # (M,) bool: canonical kmer appears RC on edge
+
+    @property
+    def size(self):
+        return self.words.shape[0]
+
+
+PAD_QUANTUM = 1 << 21  # row-count quantum for padded device buffers
+
+
+def _quantize(n: int, q: int = PAD_QUANTUM) -> int:
+    return max(q, ((n + q - 1) // q) * q)
+
+
+def _pad_rows(words, ctx, cnt, n_valid: int, cap: int):
+    """Pad compacted arrays (valid prefix n_valid) to capacity cap."""
+    cur = words.shape[0]
+    if cur == cap:
+        return words, ctx, cnt
+    if cur > cap:
+        return words[:cap], ctx[:cap], cnt[:cap]
+    pw = jnp.full((cap - cur, words.shape[1]), FULL, dtype=U32)
+    pc = jnp.zeros(cap - cur, dtype=ctx.dtype)
+    pn = jnp.zeros(cap - cur, dtype=cnt.dtype)
+    return (
+        jnp.concatenate([words, pw], axis=0),
+        jnp.concatenate([ctx, pc], axis=0),
+        jnp.concatenate([cnt, pn], axis=0),
+    )
+
+
+def count_kmers(
+    bases,
+    lengths,
+    quals,
+    k: int,
+    min_qual: int = 7,
+    min_freq: int = 4,
+    chunk_reads: int = 65536,
+    pad_quantum: int = PAD_QUANTUM,
+):
+    """Count canonical kmers with quality gating; returns (KmerDict, hist).
+
+    hist is the small_K.freqs histogram: hist[c] = number of distinct
+    kmers with (saturated) count c binned at min(100, count)
+    (reference BuildReadQGraph.cc:1095-1115).
+    min_freq filters the dictionary but not the histogram.
+
+    Chunks of reads are kmerized+collapsed on device, then merged with a
+    binary-counter merge tree (the TPU equivalent of the reference's OMP
+    task tree, BuildReadQGraph.cc:1018-1048).  All device buffers are
+    padded to PAD_QUANTUM multiples so XLA compile caches hit.
+    """
+    n = bases.shape[0]
+    W = bk.nwords(k)
+    L = bases.shape[1]
+
+    # levels[i] = (words, ctx, cnt, n_valid) — binary-counter merge tree
+    levels: dict[int, tuple] = {}
+
+    def push(level, words, ctx, cnt, nu):
+        while level in levels:
+            ow, octx, ocnt, onu = levels.pop(level)
+            wcat = jnp.concatenate([words, ow], axis=0)
+            ccat = jnp.concatenate([ctx, octx], axis=0)
+            ncat = jnp.concatenate([cnt, ocnt], axis=0)
+            words, ctx, cnt, nu_d = sort_collapse(wcat, ccat, ncat, W)
+            nu = int(nu_d)
+            words, ctx, cnt = _pad_rows(words, ctx, cnt, nu, _quantize(nu, pad_quantum))
+            level += 1
+        levels[level] = (words, ctx, cnt, nu)
+
+    n_chunks = max(1, -(-n // chunk_reads))
+    for ci in range(n_chunks):
+        start = ci * chunk_reads
+        stop = min(start + chunk_reads, n)
+        cb = np.zeros((chunk_reads, L), dtype=np.uint8)
+        cl = np.zeros(chunk_reads, dtype=np.int32)
+        cq = np.zeros((chunk_reads, L), dtype=np.uint8)
+        cb[: stop - start] = bases[start:stop]
+        cl[: stop - start] = lengths[start:stop]
+        cq[: stop - start] = quals[start:stop]
+        cw, cctx, cvalid = kmerize_chunk(
+            jnp.asarray(cb), jnp.asarray(cl), jnp.asarray(cq), k, min_qual
+        )
+        ow, octx, ocnt, nu = sort_collapse(
+            cw, cctx, cvalid.astype(jnp.int32), W
+        )
+        nu = int(nu)
+        ow, octx, ocnt = _pad_rows(ow, octx, ocnt, nu, _quantize(nu, pad_quantum))
+        push(0, ow, octx, ocnt, nu)
+
+    # final cross-level merge
+    items = [levels[l] for l in sorted(levels)]
+    while len(items) > 1:
+        (w1, c1, n1, u1), (w2, c2, n2, u2) = items[0], items[1]
+        wcat = jnp.concatenate([w1, w2], axis=0)
+        ccat = jnp.concatenate([c1, c2], axis=0)
+        ncat = jnp.concatenate([n1, n2], axis=0)
+        ow, octx, ocnt, nu = sort_collapse(wcat, ccat, ncat, W)
+        nu = int(nu)
+        ow, octx, ocnt = _pad_rows(ow, octx, ocnt, nu, _quantize(nu, pad_quantum))
+        items = [(ow, octx, ocnt, nu)] + items[2:]
+
+    words_d, ctx_d, cnt_d, nu = items[0]
+    words = np.asarray(words_d[:nu])
+    ctx = np.asarray(ctx_d[:nu])
+    cnt = np.asarray(cnt_d[:nu])
+
+    hist = np.zeros(101, dtype=np.int64)
+    if cnt.size:
+        np.add.at(hist, np.minimum(cnt, 100), 1)
+    hist[0] = 0
+
+    keep = cnt >= min_freq
+    d = KmerDict(
+        words[keep], cnt[keep].astype(np.int32), ctx[keep].astype(np.uint32), k
+    )
+    return d, hist
