@@ -1,0 +1,485 @@
+"""Unitig construction + HBV assembly from the sorted kmer dictionary.
+
+TPU-native redesign of the reference's EdgeBuilder walk + buildHBVFromEdges
+(src/paths/long/BuildReadQGraph.cc:99-337, src/paths/long/HBVFromEdges.cc):
+
+* adjacency recompute = 8 batched dictionary lookups per kmer (the
+  reference's AdjProc, src/kmers/ReadPather.h:307-342),
+* unitig chains = an oriented successor function over 2M oriented nodes
+  followed by pointer-doubling list ranking (log-depth gathers on device)
+  instead of the sequential spinlocked walk,
+* edge emission keeps only FWD/palindromic canonical forms, exactly like
+  EdgeBuilder::extend (BuildReadQGraph.cc:246-259); every chain has a
+  reverse-complement mirror chain and exactly one of the two is kept,
+* smooth circles (kmers left on no chain) are canonicalized by minimum
+  kmer and emitted once, like EdgeBuilder::simpleCircle
+  (BuildReadQGraph.cc:121-151,156-180).
+
+Link rule (matches upstream/downstreamExtensionPossible,
+BuildReadQGraph.cc:195-221): an oriented link u->v exists iff
+succ_count(u)==1, pred_count(v)==1, and neither kmer is a palindrome.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import bitkmer as bk
+from ..ops import context as kctx
+from ..ops import lookup
+from .hbv import HyperBasevector
+
+U32 = jnp.uint32
+FULL = np.uint32(0xFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# adjacency recompute
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_iters"))
+def _recompute_adjacencies_dev(words, ctx, k: int, n_iters: int):
+    """Prune context bits whose neighbor kmer is absent from the dict."""
+    table_t = words.T
+    new_ctx = jnp.zeros_like(ctx)
+    for code in range(4):
+        succ = bk.to_successor(words, np.uint32(code), k)
+        succ_c, _ = bk.canonicalize(succ, k)
+        _, found = lookup._search(table_t, succ_c.T, n_iters)
+        bit = (ctx >> code) & 1  # succ bit for this code
+        keep = bit.astype(bool) & found
+        new_ctx = new_ctx | (keep.astype(U32) << code)
+        pred = bk.to_predecessor(words, np.uint32(code), k)
+        pred_c, _ = bk.canonicalize(pred, k)
+        _, foundp = lookup._search(table_t, pred_c.T, n_iters)
+        bitp = (ctx >> (code + 4)) & 1
+        keepp = bitp.astype(bool) & foundp
+        new_ctx = new_ctx | (keepp.astype(U32) << (code + 4))
+    return new_ctx
+
+
+def recompute_adjacencies(d):
+    """d: ops.kmer_engine.KmerDict; updates d.ctx in place (host mirror)."""
+    if d.size == 0:
+        return d
+    n_iters = max(1, int(np.ceil(np.log2(d.size + 1))))
+    new_ctx = _recompute_adjacencies_dev(
+        jnp.asarray(d.words), jnp.asarray(d.ctx), d.k, n_iters
+    )
+    d.ctx = np.asarray(new_ctx)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# oriented links + list ranking (device)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_iters"))
+def _build_links_dev(words, ctx, k: int, n_iters: int):
+    """next[n] for oriented nodes n = i + o*M (o=0 fwd canonical, o=1 rc).
+
+    Returns next (2M,) int32 with -1 where no unitig link leaves n.
+    """
+    M, W = words.shape
+    table_t = words.T
+
+    pal = bk.is_palindrome(words, k)
+
+    ctx_o = jnp.concatenate([ctx, kctx.rc_context(ctx)])  # (2M,)
+    words_o = jnp.concatenate([words, bk.rc_words(words, k)], axis=0)
+    pal_o = jnp.concatenate([pal, pal])
+
+    succ_bits = kctx.succ_bits(ctx_o)
+    scount = kctx.popcount4(succ_bits)
+    scode = kctx.single_base(succ_bits)
+
+    succ_words = bk.to_successor(words_o, scode.astype(U32), k)
+    succ_canon, succ_isrev = bk.canonicalize(succ_words, k)
+    vidx, found = lookup._search(table_t, succ_canon.T, n_iters)
+    v = vidx + succ_isrev.astype(jnp.int32) * M  # oriented target node
+
+    vctx = ctx_o[v]
+    vpred = kctx.popcount4(kctx.pred_bits(vctx))
+    vpal = pal[vidx]
+
+    # hairpin guard: a link u -> rc(u) would put both orientations of one
+    # kmer on a single chain; the reference FatalErrs on this pattern
+    # ("preoccupied kmers", BuildReadQGraph.cc:296-303) — we break the
+    # link instead so the kmers become separate 1-kmer-boundary edges.
+    kid = jnp.arange(M, dtype=jnp.int32)
+    kid_o = jnp.concatenate([kid, kid])
+    src_rev = jnp.concatenate(
+        [jnp.zeros(M, dtype=bool), jnp.ones(M, dtype=bool)]
+    )
+    hairpin = (vidx == kid_o) & (succ_isrev != src_rev)
+
+    ok = (scount == 1) & found & (~pal_o) & (~vpal) & (vpred == 1) & (~hairpin)
+    return jnp.where(ok, v, -1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters",))
+def _list_rank_dev(nxt, n_iters: int):
+    """Pointer-doubling list ranking on prev pointers.
+
+    prev[n] = rc(next[rc(n)]) by orientation symmetry.  Returns
+    (head (2M,) int32, rank (2M,) int32, on_cycle (2M,) bool).
+    """
+    N2 = nxt.shape[0]
+    M = N2 // 2
+    n = jnp.arange(N2, dtype=jnp.int32)
+    rc_n = jnp.where(n < M, n + M, n - M)
+    nxt_rc = nxt[rc_n]
+    prev = jnp.where(
+        nxt_rc >= 0, jnp.where(nxt_rc < M, nxt_rc + M, nxt_rc - M), -1
+    )
+
+    ptr = jnp.where(prev >= 0, prev, n)
+    dist = (prev >= 0).astype(jnp.int32)
+
+    def body(_, state):
+        ptr, dist = state
+        dist = dist + dist[ptr]
+        ptr = ptr[ptr]
+        return ptr, dist
+
+    ptr, dist = jax.lax.fori_loop(0, n_iters, body, (ptr, dist))
+    # linear chains: ptr is the head (its prev == -1).  cycles: prev[ptr]>=0.
+    on_cycle = prev[ptr] >= 0
+    return ptr, dist, on_cycle
+
+
+# ---------------------------------------------------------------------------
+# host assembly
+# ---------------------------------------------------------------------------
+
+
+def _oriented_kmer_words(words, rcw, node_ids, M):
+    """Packed words of oriented nodes (gather + orientation select)."""
+    kid = node_ids % M
+    ori = (node_ids // M).astype(bool)
+    return np.where(ori[:, None], rcw[kid], words[kid])
+
+
+def build_unitigs(d):
+    """Build canonical unitig edge set from the dictionary.
+
+    Returns (edge_bases flat uint8, edge_start (E+1) int64) and fills
+    d.edge_id / d.edge_offset / d.edge_rc per kmer (the KDef equivalent,
+    reference src/kmers/ReadPather.h:104).
+    """
+    M = d.size
+    k = d.k
+    if M == 0:
+        d.edge_id = np.zeros(0, np.int32)
+        d.edge_offset = np.zeros(0, np.int32)
+        d.edge_rc = np.zeros(0, bool)
+        return np.zeros(0, np.uint8), np.zeros(1, np.int64)
+
+    n_iters = max(1, int(np.ceil(np.log2(M + 1))))
+    nxt_d = _build_links_dev(jnp.asarray(d.words), jnp.asarray(d.ctx), k, n_iters)
+    rank_iters = max(1, int(np.ceil(np.log2(2 * M + 1))) + 1)
+    head_d, rank_d, cyc_d = _list_rank_dev(nxt_d, rank_iters)
+
+    nxt = np.asarray(nxt_d)
+    head = np.asarray(head_d)
+    rank = np.asarray(rank_d)
+    on_cycle = np.asarray(cyc_d)
+
+    words = d.words
+    rcw = bk.rc_words(words, k)
+    kmer_last = bk.last_base(words, k).astype(np.uint8)  # (M,)
+    rc_last = bk.last_base(rcw, k).astype(np.uint8)
+
+    # ---- linear chains: group oriented nodes by (head, rank) ----------
+    lin_mask = ~on_cycle
+    node = np.arange(2 * M, dtype=np.int64)
+    lin_nodes_u = node[lin_mask]
+    order = np.lexsort((rank[lin_mask], head[lin_mask]))
+    lin_nodes = lin_nodes_u[order]
+    lin_heads = head[lin_mask][order]
+
+    seg_start = np.flatnonzero(
+        np.concatenate([[True], lin_heads[1:] != lin_heads[:-1]])
+    )
+    seg_len = np.diff(np.concatenate([seg_start, [len(lin_nodes)]]))
+    n_chains = len(seg_start)
+    seg_head = lin_nodes[seg_start]
+    seg_tail = lin_nodes[seg_start + seg_len - 1]
+
+    # ---- keep exactly one of each chain/mirror pair -------------------
+    # compare the chain's first oriented kmer with the mirror chain's
+    # first oriented kmer (= rc of this chain's last kmer); ties fall
+    # back to a full sequence comparison (rare).
+    head_w = _oriented_kmer_words(words, rcw, seg_head, M)
+    tail_w = _oriented_kmer_words(words, rcw, seg_tail, M)
+    mirror_head_w = bk.rc_words(tail_w, k)
+    lt = bk.words_lt(head_w, mirror_head_w)
+    eq = bk.words_eq(head_w, mirror_head_w)
+    keep = lt.copy()
+
+    # resolve ties: single-kmer palindromes keep the o==0 copy; longer
+    # ties compare full sequences (the mirror emits the other copy).
+    tie_idx = np.flatnonzero(eq)
+    hori = (seg_head // M).astype(np.int32)
+
+    # ---- materialize all chain sequences (vectorized) -----------------
+    # (we materialize for ALL chains, then slice kept ones; memory is
+    # 2x the final edge pool which is fine at unitig scale)
+    nid = (lin_nodes % M).astype(np.int64)
+    nori = (lin_nodes // M).astype(bool)
+    lastb = np.where(nori, rc_last[nid], kmer_last[nid])
+
+    chain_lens = seg_len + k - 1
+    cstart = np.zeros(n_chains + 1, dtype=np.int64)
+    cstart[1:] = np.cumsum(chain_lens)
+    flat_all = np.zeros(int(cstart[-1]), dtype=np.uint8)
+    # prefixes: first k-1 bases of each chain's oriented head kmer
+    head_codes = bk.unpack_words(head_w, k)[:, : k - 1]
+    flat_all[cstart[:-1][:, None] + np.arange(k - 1)[None, :]] = head_codes
+    # last bases of every node, laid out after the prefix
+    pos_chain = np.repeat(np.arange(n_chains), seg_len)
+    pos_rank = np.arange(len(lin_nodes)) - np.repeat(seg_start, seg_len)
+    flat_all[cstart[pos_chain] + (k - 1) + pos_rank] = lastb
+
+    for ci in tie_idx:
+        seq = flat_all[cstart[ci] : cstart[ci + 1]]
+        rcseq = (3 - seq)[::-1]
+        a, b = seq.tobytes(), rcseq.tobytes()
+        if a < b:
+            keep[ci] = True
+        elif a == b:
+            keep[ci] = hori[ci] == 0  # palindrome: keep one copy
+
+    kept_idx = np.flatnonzero(keep)
+    n_lin_edges = len(kept_idx)
+    chain_eid = np.full(n_chains, -1, dtype=np.int64)
+    chain_eid[kept_idx] = np.arange(n_lin_edges)
+
+    # kept flat pool
+    kept_lens = chain_lens[kept_idx]
+    edge_start = np.zeros(n_lin_edges + 1, dtype=np.int64)
+    edge_start[1:] = np.cumsum(kept_lens)
+    edge_bases = np.zeros(int(edge_start[-1]), dtype=np.uint8)
+    # copy chain slices (vectorized via repeat-based index arithmetic)
+    src_pos = np.repeat(cstart[kept_idx], kept_lens) + _ragged_arange(kept_lens)
+    edge_bases[:] = flat_all[src_pos]
+
+    # ---- per-kmer KDef assignment -------------------------------------
+    edge_id = np.full(M, -1, dtype=np.int32)
+    edge_offset = np.zeros(M, dtype=np.int32)
+    edge_rc = np.zeros(M, dtype=bool)
+    sel = chain_eid[pos_chain] >= 0
+    kmer_sel = nid[sel]
+    if np.any(edge_id[kmer_sel] >= 0) or len(np.unique(kmer_sel)) != len(kmer_sel):
+        raise RuntimeError("preoccupied kmer — broken unitig links")
+    edge_id[kmer_sel] = chain_eid[pos_chain[sel]]
+    edge_offset[kmer_sel] = pos_rank[sel]
+    edge_rc[kmer_sel] = nori[sel]
+
+    edges_list = None
+    # ---- cycles (host walk; rare) -------------------------------------
+    if on_cycle.any():
+        extra_edges, extra_kdef = _emit_cycles(
+            nxt, on_cycle, words, rcw, kmer_last, rc_last, k, M, n_lin_edges
+        )
+        if extra_edges:
+            add_flat, add_start = HyperBasevector.from_edge_list(k, extra_edges)
+            edge_bases = np.concatenate([edge_bases, add_flat])
+            edge_start = np.concatenate(
+                [edge_start, edge_start[-1] + add_start[1:]]
+            )
+            for i, e, j, o in extra_kdef:
+                if edge_id[i] >= 0:
+                    raise RuntimeError("preoccupied kmer in cycle")
+                edge_id[i] = e
+                edge_offset[i] = j
+                edge_rc[i] = bool(o)
+
+    if np.any(edge_id < 0):
+        raise RuntimeError("kmers not covered by any edge")
+    d.edge_id = edge_id
+    d.edge_offset = edge_offset
+    d.edge_rc = edge_rc
+    return edge_bases, edge_start
+
+
+def _ragged_arange(lens):
+    """concat([arange(l) for l in lens]) without a python loop."""
+    total = int(lens.sum())
+    out = np.arange(total, dtype=np.int64)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    starts[1:] = np.cumsum(lens)[:-1]
+    return out - np.repeat(starts, lens)
+
+
+def _emit_cycles(nxt, on_cycle, words, rcw, kmer_last, rc_last, k, M, eid0):
+    """Smooth circles: walk each cycle once, canonicalize by minimum
+    oriented kmer + FWD form (EdgeBuilder::canonicalizeCircle)."""
+    edges = []
+    kdef = []
+    todo = set(np.flatnonzero(on_cycle[:M]).tolist())
+
+    def okmer_bytes(n):
+        kid = n % M
+        w = rcw[kid] if n >= M else words[kid]
+        return bk.unpack_words(w[None], k)[0].tobytes()
+
+    while todo:
+        i = min(todo)
+        chain = []
+        n = i
+        while True:
+            chain.append(n)
+            n = int(nxt[n])
+            assert n >= 0, "cycle node with no successor"
+            if n % M == i:
+                break
+        for c in chain:
+            todo.discard(c % M)
+
+        def build_seq(ch):
+            first = np.frombuffer(okmer_bytes(ch[0]), dtype=np.uint8)[: k - 1]
+            lb = np.array(
+                [
+                    rc_last[c % M] if c >= M else kmer_last[c % M]
+                    for c in ch
+                ],
+                dtype=np.uint8,
+            )
+            return np.concatenate([first, lb])
+
+        def min_rotate(ch):
+            mp = min(range(len(ch)), key=lambda j: okmer_bytes(ch[j]))
+            return ch[mp:] + ch[:mp]
+
+        chain = min_rotate(chain)
+        seq = build_seq(chain)
+        rcseq = (3 - seq)[::-1]
+        if rcseq.tobytes() < seq.tobytes():
+            chain = [(c + M) % (2 * M) for c in reversed(chain)]
+            chain = min_rotate(chain)
+            seq = build_seq(chain)
+        eid = eid0 + len(edges)
+        edges.append(seq)
+        for j, c in enumerate(chain):
+            kdef.append((c % M, eid, j, 1 if c >= M else 0))
+    return edges, kdef
+
+
+# ---------------------------------------------------------------------------
+# HBV from canonical edges
+# ---------------------------------------------------------------------------
+
+
+def build_hbv_from_edges(edge_bases, edge_start, k: int):
+    """Canonical edges -> HyperBasevector with fwd+rc edge copies.
+
+    Mirrors buildHBVFromEdges (src/paths/long/HBVFromEdges.cc:78-160):
+    vertices are the distinct (k-1)-mer edge ends over both orientations;
+    per input edge i the fwd copy is added, then the rc copy unless the
+    edge is palindromic.  Returns (hbv, fwd_xlat (E,), rev_xlat (E,)).
+    """
+    E = len(edge_start) - 1
+    if E == 0:
+        return (
+            HyperBasevector(
+                k,
+                np.zeros(0, np.uint8),
+                np.zeros(1, np.int64),
+                np.zeros(0, np.int32),
+                np.zeros(0, np.int32),
+                np.zeros(0, np.int32),
+                0,
+            ),
+            np.zeros(0, np.int32),
+            np.zeros(0, np.int32),
+        )
+    ko = k - 1
+    W = bk.nwords(ko)
+    lens = np.diff(edge_start)
+
+    # the four (k-1)-mer ends of each edge (vectorized gather)
+    prox_pos = edge_start[:-1][:, None] + np.arange(ko)[None, :]
+    dist_pos = (edge_start[1:] - ko)[:, None] + np.arange(ko)[None, :]
+    prox = edge_bases[prox_pos]
+    dist = edge_bases[dist_pos]
+    prox_w = bk.pack_codes(prox, ko)
+    dist_w = bk.pack_codes(dist, ko)
+    rc_prox_w = bk.rc_words(dist_w, ko)  # rc edge's proximal end
+    rc_dist_w = bk.rc_words(prox_w, ko)
+
+    is_pal = _palindromic_edges(edge_bases, edge_start)
+
+    allw = np.ascontiguousarray(
+        np.concatenate([prox_w, dist_w, rc_prox_w, rc_dist_w], axis=0)
+    )
+    uniq, vid = np.unique(
+        allw.view([("", np.uint32)] * W).reshape(-1), return_inverse=True
+    )
+    n_vertices = len(uniq)
+    vid = vid.astype(np.int32)
+    fw_v1, fw_v2 = vid[:E], vid[E : 2 * E]
+    rc_v1, rc_v2 = vid[2 * E : 3 * E], vid[3 * E :]
+
+    # emit edges: fwd then rc (unless palindrome), like the reference
+    n_out = int(2 * E - is_pal.sum())
+    fwd_xlat = np.cumsum(np.concatenate([[0], 2 - is_pal[:-1]])).astype(
+        np.int32
+    )
+    rev_xlat = np.where(is_pal, fwd_xlat, fwd_xlat + 1).astype(np.int32)
+
+    to_left = np.zeros(n_out, dtype=np.int32)
+    to_right = np.zeros(n_out, dtype=np.int32)
+    inv = np.zeros(n_out, dtype=np.int32)
+    to_left[fwd_xlat] = fw_v1
+    to_right[fwd_xlat] = fw_v2
+    inv[fwd_xlat] = rev_xlat
+    to_left[rev_xlat] = np.where(is_pal, fw_v1, rc_v1)
+    to_right[rev_xlat] = np.where(is_pal, fw_v2, rc_v2)
+    inv[rev_xlat] = fwd_xlat
+
+    # base pool: fwd seq at fwd slot, rc seq at rev slot
+    out_lens = np.zeros(n_out, dtype=np.int64)
+    out_lens[fwd_xlat] = lens
+    out_lens[rev_xlat] = lens
+    out_start = np.zeros(n_out + 1, dtype=np.int64)
+    out_start[1:] = np.cumsum(out_lens)
+    flat = np.zeros(int(out_start[-1]), dtype=np.uint8)
+    # fwd copies
+    src = np.repeat(edge_start[:-1], lens) + _ragged_arange(lens)
+    dst = np.repeat(out_start[fwd_xlat], lens) + _ragged_arange(lens)
+    flat[dst] = edge_bases[src]
+    # rc copies (skip palindromes — same slot already written)
+    np_pal = ~is_pal
+    if np_pal.any():
+        lens_r = lens[np_pal]
+        src_r = np.repeat(edge_start[:-1][np_pal], lens_r) + _ragged_arange(
+            lens_r
+        )
+        # reversed positions within each edge
+        rev_off = np.repeat(lens_r, lens_r) - 1 - _ragged_arange(lens_r)
+        dst_r = np.repeat(out_start[rev_xlat[np_pal]], lens_r) + rev_off
+        flat[dst_r] = 3 - edge_bases[src_r]
+
+    hbv = HyperBasevector(
+        k, flat, out_start, to_left, to_right, inv, int(n_vertices)
+    )
+    return hbv, fwd_xlat, rev_xlat
+
+
+def _palindromic_edges(edge_bases, edge_start):
+    """Vectorized per-edge palindrome (seq == rc seq) test."""
+    E = len(edge_start) - 1
+    lens = np.diff(edge_start)
+    out = np.zeros(E, dtype=bool)
+    cand = lens % 2 == 0  # odd-length DNA rc-palindromes are impossible
+    for i in np.flatnonzero(cand):
+        s = edge_bases[edge_start[i] : edge_start[i + 1]]
+        out[i] = np.array_equal(s, (3 - s)[::-1])
+    return out
