@@ -1,0 +1,108 @@
+"""Read pathing tests: paths must be legal walks that reproduce the read
+sequence on clean data, with correct offsets."""
+
+import numpy as np
+import pytest
+
+from w2rap_contigger_tpu.core import dna
+from w2rap_contigger_tpu.core.reads import ReadSet
+from w2rap_contigger_tpu.graph import build as gb
+from w2rap_contigger_tpu.graph import validate
+from w2rap_contigger_tpu.ops import kmer_engine as ke
+from w2rap_contigger_tpu.paths import extend, pather
+from w2rap_contigger_tpu.paths.read_paths import invert_paths
+
+
+def make_pipeline(rng, glen, rlen, k, n_reads=None, err=0.0):
+    g = rng.integers(0, 4, size=glen).astype(np.uint8)
+    starts = rng.integers(0, glen - rlen + 1, size=n_reads or 3 * glen // rlen * 4)
+    seqs = []
+    for s in starts:
+        r = g[s : s + rlen].copy()
+        if err > 0:
+            mask = rng.random(rlen) < err
+            r[mask] = (r[mask] + rng.integers(1, 4, size=mask.sum())) % 4
+        if rng.random() < 0.5:
+            r = dna.revcomp_codes(r)
+        seqs.append(r)
+    # guarantee full coverage with sliding windows too
+    for s in range(0, glen - rlen + 1, max(1, rlen // 3)):
+        seqs.append(g[s : s + rlen])
+    reads = ReadSet.from_sequences(seqs)
+    d, _ = ke.count_kmers(
+        reads.bases, reads.lengths, reads.quals, k, min_freq=1, pad_quantum=1024
+    )
+    gb.recompute_adjacencies(d)
+    eb, es = gb.build_unitigs(d)
+    hbv, fx, rx = gb.build_hbv_from_edges(eb, es, k)
+    return g, reads, d, hbv, fx, rx
+
+
+def walk_seq(hbv, path, offset, length):
+    """Reconstruct the base sequence a (path, offset) walk spells."""
+    k = hbv.k
+    seq = []
+    first = True
+    for e in path:
+        s = hbv.edge_seq(int(e))
+        if first:
+            seq.extend(s.tolist())
+            first = False
+        else:
+            seq.extend(s[k - 1 :].tolist())
+    seq = np.array(seq, dtype=np.uint8)
+    if offset >= 0:
+        return seq[offset : offset + length]
+    return seq[: length + offset]  # read hangs off the left
+
+
+def test_paths_reproduce_clean_reads(rng):
+    k = 15
+    g, reads, d, hbv, fx, rx = make_pipeline(rng, 2000, 60, k)
+    paths = pather.path_reads(reads, d, hbv, fx, rx, chunk_reads=128)
+    validate.validate_paths(hbv, paths)
+    n_pathed = int(np.sum(paths.path_len() > 0))
+    assert n_pathed == reads.n_reads  # clean reads must all path
+
+    paths = extend.extend_paths(reads, paths, hbv)
+    validate.validate_paths(hbv, paths)
+    for i in range(0, reads.n_reads, 5):
+        p = paths.path(i)
+        off = int(paths.start[i])
+        rl = int(reads.lengths[i])
+        assert off >= 0  # clean full-coverage: no hanging starts
+        got = walk_seq(hbv, p, off, rl)
+        # the weak-terminal-seed backoff (BuildReadQGraph.cc:920-937) may
+        # leave < MIN_GAP unexplained bases that extension won't touch
+        assert len(got) >= rl - (extend.MIN_GAP - 1), f"read {i}: too short"
+        np.testing.assert_array_equal(got, reads.bases[i][: len(got)])
+
+
+def test_paths_with_errors_still_valid(rng):
+    k = 15
+    g, reads, d, hbv, fx, rx = make_pipeline(rng, 3000, 90, k, err=0.01)
+    paths = pather.path_reads(reads, d, hbv, fx, rx, chunk_reads=256)
+    validate.validate_paths(hbv, paths)
+    # most reads still path
+    assert np.sum(paths.path_len() > 0) > 0.8 * reads.n_reads
+
+
+def test_involution_and_index(rng):
+    k = 15
+    g, reads, d, hbv, fx, rx = make_pipeline(rng, 1500, 60, k)
+    validate.test_involution(hbv)
+    paths = pather.path_reads(reads, d, hbv, fx, rx, chunk_reads=512)
+    off, rid = invert_paths(paths, hbv.n_edges)
+    validate.test_index(hbv, paths, off, rid)
+
+
+def test_short_reads_get_empty_paths(rng):
+    k = 15
+    g, reads, d, hbv, fx, rx = make_pipeline(rng, 800, 60, k)
+    # add reads shorter than k
+    seqs = [g[:10], g[5:17], g[:60]]
+    short = ReadSet.from_sequences(seqs)
+    paths = pather.path_reads(short, d, hbv, fx, rx, chunk_reads=8)
+    assert paths.path_len()[0] == 0
+    assert int(paths.start[0]) == 0
+    assert paths.path_len()[2] > 0

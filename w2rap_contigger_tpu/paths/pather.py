@@ -1,0 +1,308 @@
+"""Read pathing: dense batched lookup + run-length decode.
+
+Replaces the reference's seed-and-extend BRQ_Pather + path_reads_OMP
+(src/paths/long/BuildReadQGraph.cc:494-560,829-940) with a TPU-native
+formulation: every kmer position of every read is looked up in the sorted
+dictionary at once; PathParts are recovered as maximal runs of
+consecutive (edge, offset) hits.  This is exactly equivalent to the
+reference's matchLen-based extension because unitig edges are chains of
+dictionary kmers: bases match the edge through position p+len iff the
+kmers at p..p+len-1 are that edge's kmers at consecutive offsets.
+
+Reproduced quirks (deliberately, for parity):
+* the hanging-seed-to-gap conversion is dead code in the reference
+  (path_reads_OMP fills both toLeft AND toRight from hbv.ToLeft,
+  BuildReadQGraph.cc:838-840, making its condition unsatisfiable), so we
+  skip it;
+* isJoinable compares the LAST K-1 bases of both edges
+  (BuildReadQGraph.cc:552-558) — not prev-tail vs next-head — so
+  captured gaps spanning distinct edges are usually judged unjoinable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import bitkmer as bk
+from ..ops import kmer_engine as ke
+from ..ops import lookup
+from .read_paths import ReadPathVec
+
+MAX_JITTER = 3  # BuildReadQGraph.cc:831
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_iters"))
+def _lookup_chunk(
+    bases,
+    lengths,
+    table_t,
+    kdef_edge,
+    kdef_off,
+    kdef_rc,
+    fwd_xlat,
+    rev_xlat,
+    ekm,
+    k: int,
+    n_iters: int,
+):
+    """Per-position oriented-edge lookup.
+
+    Returns (hbv_edge (N,P) int32 [-1 miss, -2 invalid], off (N,P) int32
+    kmer-unit offset on the oriented edge, ekm_at (N,P) int32).
+    """
+    n, L = bases.shape
+    P = L - k + 1
+    packed = ke.pack_rows(bases)
+    words = ke.kmer_windows(packed, k, P)
+    canon, is_rev = bk.canonicalize(words, k)
+
+    flat = canon.reshape(n * P, -1)
+    idx, found = lookup._search(table_t, flat.T, n_iters)
+    idx = idx.reshape(n, P)
+    found = found.reshape(n, P)
+
+    e0 = kdef_edge[idx]
+    off0 = kdef_off[idx]
+    erc = kdef_rc[idx]
+    rc = is_rev ^ erc
+    hbv_e = jnp.where(rc, rev_xlat[e0], fwd_xlat[e0]).astype(jnp.int32)
+    ekm_e = ekm[e0].astype(jnp.int32)
+    off = jnp.where(rc, ekm_e - 1 - off0, off0).astype(jnp.int32)
+
+    pos = jnp.arange(P, dtype=jnp.int32)[None, :]
+    valid = pos <= (lengths[:, None] - k)
+    hbv_e = jnp.where(found, hbv_e, -1)
+    hbv_e = jnp.where(valid, hbv_e, -2)
+    return hbv_e, off, ekm_e
+
+
+def _decode_chunk(hbv_e, off, ekm, lengths, k, tail_words, tail_W):
+    """Run-length decode + reference heuristics -> per-read paths.
+
+    All numpy, vectorized over the flattened parts table.
+    Returns (list of edge-arrays, list of offsets) for the chunk.
+    """
+    n, P = hbv_e.shape
+    # run starts: first valid position of each read, edge change, or
+    # non-consecutive offset within the same edge
+    prev_e = np.concatenate([np.full((n, 1), -3, np.int32), hbv_e[:, :-1]], 1)
+    prev_o = np.concatenate([np.zeros((n, 1), np.int32), off[:, :-1]], 1)
+    in_range = hbv_e != -2
+    new_run = in_range & (
+        (hbv_e != prev_e) | ((hbv_e >= 0) & (off != prev_o + 1))
+    )
+
+    rid_m, pos_m = np.nonzero(new_run)
+    if len(rid_m) == 0:
+        return (
+            np.zeros(0, np.int32),
+            np.zeros(n + 1, np.int64),
+            np.zeros(n, np.int32),
+        )
+
+    # parts table (flat, grouped by read then position)
+    part_edge = hbv_e[rid_m, pos_m]
+    part_off = off[rid_m, pos_m]
+    part_ekm = ekm[rid_m, pos_m]
+    # run length: next run start (or end of valid region) - start
+    n_valid = np.maximum(lengths - k + 1, 0)
+    next_start = np.concatenate([pos_m[1:], [0]])
+    last_of_read = np.concatenate([rid_m[1:] != rid_m[:-1], [True]])
+    part_len = np.where(
+        last_of_read, n_valid[rid_m] - pos_m, next_start - pos_m
+    ).astype(np.int64)
+
+    is_seed = part_edge >= 0
+
+    # per-read part segmentation
+    first_of_read = np.concatenate([[True], rid_m[1:] != rid_m[:-1]])
+    read_first_idx = np.flatnonzero(first_of_read)
+    pcount = np.diff(np.concatenate([read_first_idx, [len(rid_m)]]))
+    local_idx = np.arange(len(rid_m)) - np.repeat(read_first_idx, pcount)
+    reads_with_parts = rid_m[read_first_idx]
+
+    # ---- 3b: captured-gap conformance + joinability ------------------
+    nparts = len(rid_m)
+    interior = (
+        (local_idx > 0)
+        & (np.concatenate([local_idx[1:] > 0, [False]]))  # not last of read
+        & ~is_seed
+        & (part_edge == -1)
+    )
+    # neighbors are flat i-1, i+1 (same read guaranteed by interior mask)
+    im1 = np.clip(np.arange(nparts) - 1, 0, nparts - 1)
+    ip1 = np.clip(np.arange(nparts) + 1, 0, nparts - 1)
+    interior &= is_seed[im1] & is_seed[ip1]
+    same_edge = part_edge[im1] == part_edge[ip1]
+    graph_dist = part_off[ip1] - (part_off[im1] + part_len[im1])
+    graph_dist = graph_dist + np.where(same_edge, 0, part_ekm[im1])
+    conforming = np.abs(part_len - graph_dist) <= MAX_JITTER
+    # isJoinable (reference quirk: last K-1 bases of BOTH edges)
+    e1 = np.clip(part_edge[im1], 0, None)
+    e2 = np.clip(part_edge[ip1], 0, None)
+    joinable = same_edge | np.all(
+        tail_words[e1] == tail_words[e2], axis=1
+    )
+    bad = interior & ~(conforming & joinable)
+
+    # first bad junction per read (reference `break` after handling one)
+    INF = np.int64(1 << 60)
+    first_bad = np.full(n, INF, dtype=np.int64)
+    np.minimum.at(first_bad, rid_m[bad], local_idx[bad])
+
+    # seeds strictly before the bad junction
+    seed_cum = np.cumsum(is_seed)  # inclusive prefix over flat parts
+    base_cum = np.repeat(
+        seed_cum[read_first_idx] - is_seed[read_first_idx], pcount
+    )
+    seeds_before_flat = seed_cum - base_cum - is_seed  # seeds with idx < this
+    # at the bad part (a gap), seeds_before = seeds seen before it
+    bad_flags = bad & (local_idx == first_bad[rid_m])
+    cutoff = np.full(n, INF, dtype=np.int64)
+    # keep local parts with idx < cutoff
+    cut_rid = rid_m[bad_flags]
+    cut_seeds = seeds_before_flat[bad_flags]
+    cut_j = local_idx[bad_flags]
+    cutoff[cut_rid] = np.where(cut_seeds > 1, cut_j - 1, cut_j)
+
+    keep = local_idx < cutoff[rid_m]
+
+    # ---- 3c: weak terminal seed backoff ------------------------------
+    kept_seed = keep & is_seed
+    # last kept seed per read
+    last_seed_idx = np.full(n, -1, dtype=np.int64)
+    np.maximum.at(last_seed_idx, rid_m[kept_seed], np.flatnonzero(kept_seed))
+    ls = last_seed_idx[last_seed_idx >= 0]
+    weak = (part_off[ls] == 0) & (part_len[ls] <= 5)
+    drop_flat = ls[weak]
+    keep[drop_flat] = False
+
+    # ---- ReadPath assembly -------------------------------------------
+    kept = keep & is_seed
+    # dedupe: same hbv edge as previous kept seed of the same read
+    kidx = np.flatnonzero(kept)
+    if len(kidx):
+        krid = rid_m[kidx]
+        kedge = part_edge[kidx]
+        same_as_prev = np.concatenate(
+            [[False], (krid[1:] == krid[:-1]) & (kedge[1:] == kedge[:-1])]
+        )
+        kidx = kidx[~same_as_prev]
+
+    # offsets: based on (possibly truncated) parts list
+    start_off = np.zeros(n, dtype=np.int32)
+    # first kept part per read == first part (truncation only cuts tails;
+    # cutoff >= 1 always because bad junctions have local_idx >= 1)
+    fp = read_first_idx
+    fp_seed = is_seed[fp]
+    # seed case: offset = first part's edge offset
+    start_off[reads_with_parts[fp_seed]] = part_off[fp[fp_seed]]
+    # gap-first case: offset = parts[1].off - gap_len (if parts[1] kept+seed)
+    gap_first = ~fp_seed
+    gf = fp[gap_first]
+    gf_rid = reads_with_parts[gap_first]
+    has_second = (gf + 1 < nparts) & (
+        np.concatenate([rid_m[1:], [-1]])[gf] == gf_rid
+    )
+    sec = np.clip(gf + 1, 0, nparts - 1)
+    sec_kept_seed = has_second & keep[sec] & is_seed[sec]
+    start_off[gf_rid[sec_kept_seed]] = (
+        part_off[sec[sec_kept_seed]] - part_len[gf[sec_kept_seed]]
+    )
+
+    # build ragged outputs
+    path_edges = part_edge[kidx] if len(kidx) else np.zeros(0, np.int32)
+    path_rid = rid_m[kidx] if len(kidx) else np.zeros(0, np.int64)
+    counts = np.bincount(path_rid, minlength=n)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    offs[1:] = np.cumsum(counts)
+    # reads with empty path get offset 0 (reference ReadPath default)
+    start_off[counts == 0] = 0
+    return path_edges.astype(np.int32), offs, start_off
+
+
+def edge_tail_words(hbv):
+    """(E, W) packed last-(K-1)-bases of every HBV edge (isJoinable aid)."""
+    k = hbv.k
+    ko = k - 1
+    E = hbv.n_edges
+    tails = np.zeros((E, ko), dtype=np.uint8)
+    for e in range(E):
+        s = hbv.edge_start[e + 1]
+        tails[e] = hbv.edge_bases[s - ko : s]
+    return bk.pack_codes(tails, ko)
+
+
+def path_reads(
+    reads, d, hbv, fwd_xlat, rev_xlat, chunk_reads: int = 65536
+) -> ReadPathVec:
+    """Path every read through the HBV (step-2 read pathing).
+
+    reads: core.reads.ReadSet; d: KmerDict with edge_id/offset/rc filled;
+    hbv + xlat from graph.build.build_hbv_from_edges.
+    """
+    k = d.k
+    n = reads.n_reads
+    L = reads.max_len
+    n_iters = max(1, int(np.ceil(np.log2(d.size + 1))))
+
+    table_t = jnp.asarray(d.words).T
+    kdef_edge = jnp.asarray(d.edge_id)
+    kdef_off = jnp.asarray(d.edge_offset)
+    kdef_rc = jnp.asarray(d.edge_rc)
+    fwd_x = jnp.asarray(fwd_xlat)
+    rev_x = jnp.asarray(rev_xlat)
+    ekm_canon = jnp.asarray(
+        (np.diff(hbv.edge_start) - k + 1)[fwd_xlat].astype(np.int32)
+    )
+    tail_words = edge_tail_words(hbv)
+
+    all_edges = []
+    all_offs = []
+    all_start = []
+    for start in range(0, n, chunk_reads):
+        stop = min(start + chunk_reads, n)
+        nb = chunk_reads
+        cb = np.zeros((nb, L), dtype=np.uint8)
+        cl = np.zeros(nb, dtype=np.int32)
+        cb[: stop - start] = reads.bases[start:stop]
+        cl[: stop - start] = reads.lengths[start:stop]
+        he, off, ekm_at = _lookup_chunk(
+            jnp.asarray(cb),
+            jnp.asarray(cl),
+            table_t,
+            kdef_edge,
+            kdef_off,
+            kdef_rc,
+            fwd_x,
+            rev_x,
+            ekm_canon,
+            k,
+            n_iters,
+        )
+        pe, offs, so = _decode_chunk(
+            np.asarray(he),
+            np.asarray(off),
+            np.asarray(ekm_at),
+            cl,
+            k,
+            tail_words,
+            tail_words.shape[1],
+        )
+        real = stop - start
+        all_edges.append(pe[: offs[real]])
+        all_offs.append(np.diff(offs[: real + 1]))
+        all_start.append(so[:real])
+
+    flat = np.concatenate(all_edges) if all_edges else np.zeros(0, np.int32)
+    lens = np.concatenate(all_offs) if all_offs else np.zeros(0, np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    offsets[1:] = np.cumsum(lens)
+    starts = (
+        np.concatenate(all_start) if all_start else np.zeros(0, np.int32)
+    )
+    return ReadPathVec(offsets, flat, starts)
