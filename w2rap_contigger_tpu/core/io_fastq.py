@@ -1,0 +1,128 @@
+"""FASTQ/FASTA read loading — step 1 (ExtractReads equivalent).
+
+Reference: src/paths/long/large/ExtractReads.cc:45-688 — globs paired
+fastq(.gz)/BAM/fastb inputs, validates pairing, converts N->A, and writes
+frag_reads_orig.fastb/.qualp.  Here: a numpy-vectorized fastq(.gz) parser
+producing a dense ReadSet; pairs are interleaved (read 2i, 2i+1), same as
+the reference's PairsManager convention.
+
+BAM and feudal (.fastb/.qualp) readers are planned compat additions (the
+reference's BAMReader is a self-contained BGZF parser, src/bam/ReadBAM.h).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import numpy as np
+
+from .dna import ASCII_TO_CODE
+from .reads import ReadSet
+
+
+def _read_bytes(path: str) -> bytes:
+    if path.endswith(".gz"):
+        with gzip.open(path, "rb") as f:
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def parse_fastq_bytes(data: bytes):
+    """Parse fastq bytes -> (list_of_seq_bytes, list_of_qual_bytes).
+
+    Vectorized: newline positions via numpy, record lines = 4-periodic.
+    """
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if len(buf) == 0:
+        return [], []
+    nl = np.flatnonzero(buf == ord("\n"))
+    # line start/end offsets (handle missing trailing newline)
+    starts = np.concatenate([[0], nl + 1])
+    ends = np.concatenate([nl, [len(buf)]])
+    if starts[-1] >= len(buf):
+        starts = starts[:-1]
+        ends = ends[:-1]
+    n_lines = len(starts)
+    n_rec = n_lines // 4
+    seqs = []
+    quals = []
+    for i in range(n_rec):
+        s0, e0 = starts[4 * i], ends[4 * i]
+        assert buf[s0] == ord("@"), f"bad fastq record at line {4*i}"
+        seqs.append(data[starts[4 * i + 1] : ends[4 * i + 1]])
+        quals.append(data[starts[4 * i + 3] : ends[4 * i + 3]])
+    return seqs, quals
+
+
+def load_fastq(path: str):
+    return parse_fastq_bytes(_read_bytes(path))
+
+
+def parse_fasta_bytes(data: bytes):
+    seqs = []
+    cur = []
+    for line in data.split(b"\n"):
+        if line.startswith(b">"):
+            if cur:
+                seqs.append(b"".join(cur))
+                cur = []
+        elif line:
+            cur.append(line.strip())
+    if cur:
+        seqs.append(b"".join(cur))
+    return seqs
+
+
+def to_readset(seq_bytes_list, qual_bytes_list=None, qual_offset=33) -> ReadSet:
+    """Pack byte strings into a dense ReadSet (N->A, phred decode)."""
+    n = len(seq_bytes_list)
+    lens = np.array([len(s) for s in seq_bytes_list], dtype=np.int32)
+    lmax = int(lens.max()) if n else 0
+    bases = np.zeros((n, lmax), dtype=np.uint8)
+    quals = np.zeros((n, lmax), dtype=np.uint8)
+    for i, s in enumerate(seq_bytes_list):
+        bases[i, : lens[i]] = ASCII_TO_CODE[np.frombuffer(s, dtype=np.uint8)]
+        if qual_bytes_list is not None:
+            q = np.frombuffer(qual_bytes_list[i], dtype=np.uint8)
+            quals[i, : lens[i]] = q - qual_offset
+        else:
+            quals[i, : lens[i]] = 40
+    return ReadSet(bases, lens, quals)
+
+
+def extract_reads(read_spec: str, frac: float = 1.0, seed: int = 42) -> ReadSet:
+    """ExtractReads equivalent: read_spec is 'r1.fastq,r2.fastq' (paired)
+    or a single (possibly interleaved) fastq; .gz supported.  Pairs are
+    interleaved in the output.  frac subsamples pairs (reference's
+    `frac` option, ExtractReads.cc)."""
+    files = [f.strip() for f in read_spec.split(",") if f.strip()]
+    for f in files:
+        if not os.path.exists(f):
+            raise FileNotFoundError(f)
+    if len(files) == 2:
+        s1, q1 = load_fastq(files[0])
+        s2, q2 = load_fastq(files[1])
+        assert len(s1) == len(s2), "R1/R2 read counts differ"
+        seqs = [x for pair in zip(s1, s2) for x in pair]
+        quals = [x for pair in zip(q1, q2) for x in pair]
+    elif len(files) == 1:
+        seqs, quals = load_fastq(files[0])
+    else:
+        raise ValueError("read_spec must name 1 interleaved or 2 paired files")
+    if frac < 1.0:
+        rng = np.random.default_rng(seed)
+        n_pairs = len(seqs) // 2
+        keep = rng.random(n_pairs) < frac
+        seqs = [
+            s
+            for p in np.flatnonzero(keep)
+            for s in (seqs[2 * p], seqs[2 * p + 1])
+        ]
+        quals = [
+            q
+            for p in np.flatnonzero(keep)
+            for q in (quals[2 * p], quals[2 * p + 1])
+        ]
+    return to_readset(seqs, quals)
