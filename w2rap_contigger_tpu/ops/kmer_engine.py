@@ -371,3 +371,128 @@ def count_kmers(
         words[keep], cnt[keep].astype(np.int32), ctx[keep].astype(np.uint32), k
     )
     return d, hist
+
+
+# ---------------------------------------------------------------------------
+# flat-layout counting (for step 3's place sequences of arbitrary length)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def kmerize_flat_chunk(bases, valid, has_pred, has_succ, pred_code, succ_code, k: int):
+    """Kmerize a flat base chunk.
+
+    bases: (C + 16*ceil(k/16),) uint8 — positions p in [0, C) use window
+    [p, p+k); validity/context masks are computed by the host caller from
+    segment boundaries.  Returns (words (C,W), ctx (C,), valid).
+    """
+    C = valid.shape[0]
+    packed = pack_rows(bases[None, :])  # (1, WR)
+    words = kmer_windows(packed, k, C)[0]  # (C, W)
+    ctx = kctx.make_context(
+        pred_code.astype(U32),
+        succ_code.astype(U32),
+        has_pred.astype(U32),
+        has_succ.astype(U32),
+    )
+    canon, is_rev = bk.canonicalize(words, k)
+    ctx = jnp.where(is_rev, kctx.rc_context(ctx), ctx)
+    canon = jnp.where(valid[:, None], canon, FULL)
+    ctx = jnp.where(valid, ctx, 0)
+    return canon, ctx, valid
+
+
+def count_kmers_flat(
+    flat_bases,
+    seg_offsets,
+    k: int,
+    min_freq: int = 1,
+    chunk_pos: int = 1 << 21,
+    pad_quantum: int = PAD_QUANTUM,
+):
+    """Count canonical kmers over concatenated sequences.
+
+    flat_bases: (T,) uint8 codes of all sequences back to back;
+    seg_offsets: (S+1,) int64 boundaries.  Equivalent semantics to the
+    reference's BigDict fill over a read set (kmers/BigKPather.cc:461-537)
+    but with exact multiword kmers instead of hashed BigKMers.
+    """
+    T = len(flat_bases)
+    W = bk.nwords(k)
+    if T < k:
+        empty = np.zeros((0, W), dtype=np.uint32)
+        return KmerDict(empty, np.zeros(0, np.int32), np.zeros(0, np.uint32), k)
+
+    n_pos = T - k + 1
+    # segment id per position (host, vectorized)
+    seg_of = np.searchsorted(seg_offsets, np.arange(T), side="right") - 1
+    seg_end = seg_offsets[seg_of + 1]
+    seg_start = seg_offsets[seg_of]
+
+    levels: dict[int, tuple] = {}
+
+    def push(level, words, ctx, cnt, nu):
+        while level in levels:
+            ow, octx, ocnt, onu = levels.pop(level)
+            wcat = jnp.concatenate([words, ow], axis=0)
+            ccat = jnp.concatenate([ctx, octx], axis=0)
+            ncat = jnp.concatenate([cnt, ocnt], axis=0)
+            words, ctx, cnt, nu_d = sort_collapse(wcat, ccat, ncat, W)
+            nu = int(nu_d)
+            words, ctx, cnt = _pad_rows(
+                words, ctx, cnt, nu, _quantize(nu, pad_quantum)
+            )
+            level += 1
+        levels[level] = (words, ctx, cnt, nu)
+
+    halo = 16 * ((k + 15) // 16)
+    for s in range(0, n_pos, chunk_pos):
+        C = min(chunk_pos, n_pos - s)
+        Cpad = chunk_pos
+        cb = np.zeros(Cpad + halo, dtype=np.uint8)
+        avail = min(T - s, Cpad + halo)
+        cb[:avail] = flat_bases[s : s + avail]
+        pos = np.arange(Cpad) + s
+        posc = np.minimum(pos, T - 1)
+        valid = (pos < s + C) & (pos + k <= seg_end[posc])
+        hp = valid & (pos > seg_start[posc])
+        hs = valid & (pos + k < seg_end[posc])
+        pc = flat_bases[np.maximum(posc - 1, 0)]
+        sc = flat_bases[np.minimum(posc + k, T - 1)]
+        cw, cctx, cvalid = kmerize_flat_chunk(
+            jnp.asarray(cb),
+            jnp.asarray(valid),
+            jnp.asarray(hp),
+            jnp.asarray(hs),
+            jnp.asarray(pc),
+            jnp.asarray(sc),
+            k,
+        )
+        ow, octx, ocnt, nu = sort_collapse(
+            cw, cctx, cvalid.astype(jnp.int32), W
+        )
+        nu = int(nu)
+        ow, octx, ocnt = _pad_rows(ow, octx, ocnt, nu, _quantize(nu, pad_quantum))
+        push(0, ow, octx, ocnt, nu)
+
+    items = [levels[l] for l in sorted(levels)]
+    while len(items) > 1:
+        (w1, c1, n1, u1), (w2, c2, n2, u2) = items[0], items[1]
+        ow, octx, ocnt, nu = sort_collapse(
+            jnp.concatenate([w1, w2], axis=0),
+            jnp.concatenate([c1, c2], axis=0),
+            jnp.concatenate([n1, n2], axis=0),
+            W,
+        )
+        nu = int(nu)
+        ow, octx, ocnt = _pad_rows(ow, octx, ocnt, nu, _quantize(nu, pad_quantum))
+        items = [(ow, octx, ocnt, nu)] + items[2:]
+
+    words_d, ctx_d, cnt_d, nu = items[0]
+    words = np.asarray(words_d[:nu])
+    ctx = np.asarray(ctx_d[:nu])
+    cnt = np.asarray(cnt_d[:nu])
+    keep = cnt >= min_freq
+    return KmerDict(
+        words[keep], cnt[keep].astype(np.int32), ctx[keep].astype(np.uint32), k
+    )

@@ -1,0 +1,110 @@
+"""Pathing of exact sequences (flat layout) through an HBV.
+
+Used by step 3 to walk each place sequence through the freshly built
+large-K graph — the TPU-native replacement for the reference's KmerPath
+interval-database translation (Repath.cc:140-196): since every place
+sequence is by construction a walk in the graph, a dense per-position
+lookup run-decodes directly into the edge list + start/stop offsets.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import bitkmer as bk
+from ..ops import kmer_engine as ke
+from ..ops import lookup
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_iters"))
+def _lookup_flat_chunk(
+    bases, table_t, kdef_edge, kdef_off, kdef_rc, fwd_xlat, rev_xlat, ekm,
+    k: int, n_iters: int,
+):
+    C = bases.shape[0] - 16 * ((k + 15) // 16)
+    packed = ke.pack_rows(bases[None, :])
+    words = ke.kmer_windows(packed, k, C)[0]
+    canon, is_rev = bk.canonicalize(words, k)
+    idx, found = lookup._search(table_t, canon.T, n_iters)
+    e0 = kdef_edge[idx]
+    off0 = kdef_off[idx]
+    erc = kdef_rc[idx]
+    rc = is_rev ^ erc
+    hbv_e = jnp.where(rc, rev_xlat[e0], fwd_xlat[e0]).astype(jnp.int32)
+    ekm_e = ekm[e0].astype(jnp.int32)
+    off = jnp.where(rc, ekm_e - 1 - off0, off0).astype(jnp.int32)
+    hbv_e = jnp.where(found, hbv_e, -1)
+    return hbv_e, off
+
+
+def path_flat_sequences(
+    flat_bases, seg_offsets, d, hbv, fwd_xlat, rev_xlat,
+    chunk_pos: int = 1 << 21,
+):
+    """Walk each segment through the graph.
+
+    Returns (paths: list of np.int32 arrays, starts (S,) int32,
+    stops (S,) int32) where starts = base offset of the segment on its
+    first edge, stops = bases of the last edge after the segment's final
+    kmer (Repath.cc starts/stops semantics, Repath.cc:196-200).
+    Segments shorter than k or containing missing kmers get empty paths.
+    """
+    k = d.k
+    T = len(flat_bases)
+    S = len(seg_offsets) - 1
+    n_iters = max(1, int(np.ceil(np.log2(d.size + 1))))
+    halo = 16 * ((k + 15) // 16)
+
+    table_t = jnp.asarray(d.words).T
+    kdef_edge = jnp.asarray(d.edge_id)
+    kdef_off = jnp.asarray(d.edge_offset)
+    kdef_rc = jnp.asarray(d.edge_rc)
+    fx = jnp.asarray(fwd_xlat)
+    rx = jnp.asarray(rev_xlat)
+    ekm_canon = jnp.asarray(
+        (np.diff(hbv.edge_start) - k + 1)[fwd_xlat].astype(np.int32)
+    )
+
+    n_pos = max(T - k + 1, 0)
+    all_e = np.full(n_pos, -1, dtype=np.int32)
+    all_o = np.zeros(n_pos, dtype=np.int32)
+    for s in range(0, n_pos, chunk_pos):
+        C = min(chunk_pos, n_pos - s)
+        cb = np.zeros(chunk_pos + halo, dtype=np.uint8)
+        avail = min(T - s, chunk_pos + halo)
+        cb[:avail] = flat_bases[s : s + avail]
+        he, off = _lookup_flat_chunk(
+            jnp.asarray(cb), table_t, kdef_edge, kdef_off, kdef_rc, fx, rx,
+            ekm_canon, k, n_iters,
+        )
+        all_e[s : s + C] = np.asarray(he[:C])
+        all_o[s : s + C] = np.asarray(off[:C])
+
+    kmers_b = np.diff(hbv.edge_start) - k + 1
+    paths = []
+    starts = np.zeros(S, dtype=np.int32)
+    stops = np.zeros(S, dtype=np.int32)
+    for si in range(S):
+        a, b = int(seg_offsets[si]), int(seg_offsets[si + 1])
+        np_seg = b - a - k + 1
+        if np_seg <= 0:
+            paths.append(np.zeros(0, np.int32))
+            continue
+        e = all_e[a : a + np_seg]
+        o = all_o[a : a + np_seg]
+        if np.any(e < 0):
+            paths.append(np.zeros(0, np.int32))
+            continue
+        newrun = np.concatenate(
+            [[True], (e[1:] != e[:-1]) | (o[1:] != o[:-1] + 1)]
+        )
+        runs = np.flatnonzero(newrun)
+        paths.append(e[runs].astype(np.int32))
+        starts[si] = o[0]
+        last_e = int(e[-1])
+        stops[si] = int(kmers_b[last_e]) - 1 - int(o[-1])
+    return paths, starts, stops

@@ -1,0 +1,158 @@
+"""7-step pipeline driver with per-step checkpoints.
+
+Mirrors src/modules/w2rap-contigger.cc:306-606: each step loads exactly
+what it needs from the previous step's checkpoint (--from_step/--to_step
+semantics), writes its own dumps, and appends TIME lines to the .perf
+log (checkpoint_perf_time, w2rap-contigger.cc:32-46).
+
+Checkpoint schema (npz replaces the reference's feudal/BinaryStream
+formats; same logical content):
+  frag_reads_orig.npz          step 1  (<-> frag_reads_orig.fastb/.qualp)
+  <p>.small_K.hbv.npz/.paths.npz  step 2
+  <p>.large_K.hbv.npz/.paths.npz  step 3
+  <p>.large_K.clean.*             step 4
+  <p>.large_K.final.*             step 5
+  <p>.contig.*                    step 6 (+ _contigs GFA)
+  a.lines.fasta, stats, <p>_assembly GFA  step 7
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from ..core.io_fastq import extract_reads
+from ..core.reads import ReadSet
+from ..graph.hbv import HyperBasevector
+from ..paths.read_paths import ReadPathVec
+from . import step2_small_k, step3_repath, step4_clean, step6_simplify
+
+
+class PerfLog:
+    def __init__(self, path=None):
+        self.path = path
+        self.t0 = time.time()
+        self.c0 = time.process_time()
+        if path:
+            with open(path, "w") as f:
+                f.write("")
+
+    def checkpoint(self, section: str):
+        t1, c1 = time.time(), time.process_time()
+        line = f"TIME, {section}, {t1 - self.t0:.2f}, {c1 - self.c0:.2f}"
+        if self.path:
+            with open(self.path, "a") as f:
+                f.write(line + "\n")
+        self.t0, self.c0 = t1, c1
+        return line
+
+
+def run_pipeline(
+    out_dir: str,
+    read_spec: str | None = None,
+    reads: ReadSet | None = None,
+    prefix: str = "pe",
+    large_k: int = 200,
+    from_step: int = 1,
+    to_step: int = 7,
+    min_freq: int = 4,
+    min_qual: int = 7,
+    min_size: int = 0,
+    dump_all: bool = False,
+    dump_perf: bool = False,
+    chunk_reads: int = 65536,
+):
+    os.makedirs(out_dir, exist_ok=True)
+    perf = PerfLog(f"{out_dir}/{prefix}.perf" if dump_perf else None)
+    p = f"{out_dir}/{prefix}"
+
+    hbv = paths = None
+
+    # ---- step 1: read loading ----------------------------------------
+    if from_step <= 1 <= to_step:
+        if reads is None:
+            assert read_spec, "step 1 needs read files"
+            reads = extract_reads(read_spec)
+        if dump_all or to_step == 1:
+            reads.save(f"{out_dir}/frag_reads_orig.npz")
+        perf.checkpoint("ReadLoad")
+    elif from_step >= 2 and reads is None:
+        reads = ReadSet.load(f"{out_dir}/frag_reads_orig.npz")
+
+    # ---- step 2: small-k graph ---------------------------------------
+    if from_step <= 2 <= to_step:
+        hbv, paths, _d = step2_small_k.build_read_q_graph(
+            reads,
+            min_qual=min_qual,
+            min_freq=min_freq,
+            workdir=out_dir,
+            chunk_reads=chunk_reads,
+        )
+        if dump_all or to_step == 2:
+            hbv.save(f"{p}.small_K.hbv.npz")
+            paths.save(f"{p}.small_K.paths.npz")
+        perf.checkpoint("SmallKGraph")
+    elif from_step == 3:
+        hbv = HyperBasevector.load(f"{p}.small_K.hbv.npz")
+        paths = ReadPathVec.load(f"{p}.small_K.paths.npz")
+
+    # ---- step 3: repath to large K -----------------------------------
+    if from_step <= 3 <= to_step:
+        hbv, paths, _d2 = step3_repath.repath(hbv, paths, large_k)
+        if dump_all or to_step == 3:
+            hbv.save(f"{p}.large_K.hbv.npz")
+            paths.save(f"{p}.large_K.paths.npz")
+        perf.checkpoint("RepathInMemory")
+    elif from_step == 4:
+        hbv = HyperBasevector.load(f"{p}.large_K.hbv.npz")
+        paths = ReadPathVec.load(f"{p}.large_K.paths.npz")
+
+    # ---- step 4: clean large-K graph ---------------------------------
+    if from_step <= 4 <= to_step:
+        hbv, paths = step4_clean.clean200x(hbv, paths, reads, min_size=min_size)
+        if dump_all or to_step == 4:
+            hbv.save(f"{p}.large_K.clean.hbv.npz")
+            paths.save(f"{p}.large_K.clean.paths.npz")
+        perf.checkpoint("Clean200x")
+    elif from_step == 5:
+        hbv = HyperBasevector.load(f"{p}.large_K.clean.hbv.npz")
+        paths = ReadPathVec.load(f"{p}.large_K.clean.paths.npz")
+
+    # ---- step 5: local assemblies in gaps (round-1: pass-through) ----
+    if from_step <= 5 <= to_step:
+        # AssembleGaps2 + AddNewStuff + PartnersToEnds
+        # (w2rap-contigger.cc:424-459) — staged for a later round; the
+        # checkpoint contract is preserved so step 6 runs unchanged.
+        if dump_all or to_step == 5:
+            hbv.save(f"{p}.large_K.final.hbv.npz")
+            paths.save(f"{p}.large_K.final.paths.npz")
+        perf.checkpoint("AssembleGaps")
+    elif from_step == 6:
+        hbv = HyperBasevector.load(f"{p}.large_K.final.hbv.npz")
+        paths = ReadPathVec.load(f"{p}.large_K.final.paths.npz")
+
+    # ---- step 6: simplify + lines + contig outputs -------------------
+    if from_step <= 6 <= to_step:
+        hbv, paths = step6_simplify.simplify(hbv, paths, reads)
+        lines, stats = step6_simplify.contig_outputs(
+            hbv, paths, out_dir, prefix="a"
+        )
+        hbv.save(f"{p}.contig.hbv.npz")
+        paths.save(f"{p}.contig.paths.npz")
+        perf.checkpoint("Simplify")
+    elif from_step == 7:
+        hbv = HyperBasevector.load(f"{p}.contig.hbv.npz")
+        paths = ReadPathVec.load(f"{p}.contig.paths.npz")
+
+    # ---- step 7: PE scaffolding (round-1: final files only) ----------
+    if from_step <= 7 <= to_step:
+        # MakeGaps (w2rap-contigger.cc:570-603) — staged for a later
+        # round; FinalFiles outputs are produced from the contig graph.
+        from ..graph import gfa
+
+        gfa.gfa_dump(hbv, f"{out_dir}/{prefix}_assembly")
+        perf.checkpoint("MakeGaps+FinalFiles")
+
+    return hbv, paths

@@ -1,0 +1,49 @@
+"""Step 2 — build the small-k (k=60) de Bruijn graph + read paths.
+
+Reference: buildReadQGraph (src/paths/long/BuildReadQGraph.cc:1253),
+called from the driver at src/modules/w2rap-contigger.cc:335-350 with
+minQual=7, minFreq=4, K=60.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import SMALL_K
+from ..graph import build as gb
+from ..ops import kmer_engine as ke
+from ..paths import extend, pather
+
+
+def build_read_q_graph(
+    reads,
+    min_qual: int = 7,
+    min_freq: int = 4,
+    k: int = SMALL_K,
+    workdir: str | None = None,
+    chunk_reads: int = 65536,
+):
+    """Returns (hbv, paths, dict) — graph, read paths, kmer dictionary."""
+    d, hist = ke.count_kmers(
+        reads.bases,
+        reads.lengths,
+        reads.quals,
+        k,
+        min_qual=min_qual,
+        min_freq=min_freq,
+        chunk_reads=chunk_reads,
+    )
+    if workdir:
+        with open(f"{workdir}/small_K.freqs", "w") as f:
+            for i in range(1, 101):
+                f.write(f"{i}, {hist[i]}\n")
+
+    gb.recompute_adjacencies(d)
+    edge_bases, edge_start = gb.build_unitigs(d)
+    hbv, fwd_xlat, rev_xlat = gb.build_hbv_from_edges(edge_bases, edge_start, k)
+
+    paths = pather.path_reads(
+        reads, d, hbv, fwd_xlat, rev_xlat, chunk_reads=chunk_reads
+    )
+    paths = extend.extend_paths(reads, paths, hbv)
+    return hbv, paths, d

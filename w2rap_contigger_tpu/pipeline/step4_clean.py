@@ -1,0 +1,281 @@
+"""Step 4 — clean the large-K graph by quality-weighted read voting.
+
+Reference: Clean200x (src/paths/long/large/Clean200.cc:202-398) +
+AnalyzeScores (:391-445) + GetExtensions (:445-470), driver call at
+w2rap-contigger.cc:393-409 (min_size=min_size CLI arg, default 0 in our
+driver mirrors the reference default behavior; version=2).
+
+Per branch vertex v (>=1 in-edge, >=2 out-edges): enumerate forward
+extensions to depth 250 kmers (<=10), score every read touching the
+branch against each extension by summing qual at mismatching bases, and
+let AnalyzeScores delete dominated branches (max_del=15, min_win=100,
+max_lose=50, min_ratio=5).  Two passes; after each, tiny standalone
+edges <= min_size kmers are removed and the graph is re-squeezed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..graph import ops
+from ..paths.read_paths import invert_paths
+
+MAX_EXTS = 10
+MAX_RL = 250
+MAX_DEL = 15
+MIN_WIN = 100
+MAX_LOSE = 50
+MIN_RATIO = 5
+NPASSES = 2
+
+
+def get_extensions(hbv, fo, fe, v, depth):
+    """GetExtensions (Clean200.cc:445): forward edge-paths from v of
+    total length >= depth kmers (depth shrinks at dead ends), two passes."""
+    kmers = hbv.edge_kmers()
+    for _pass in (1, 2):
+        exts = [[int(e)] for e in fe[fo[v] : fo[v + 1]]]
+        i = 0
+        while i < len(exts):
+            if i >= MAX_EXTS:
+                break
+            x = exts[i]
+            ln = int(np.sum(kmers[x]))
+            if ln >= depth:
+                i += 1
+                continue
+            w = int(hbv.to_right[x[-1]])
+            outs = fe[fo[w] : fo[w + 1]]
+            if len(outs) == 0:
+                depth = min(depth, ln)
+                i += 1
+                continue
+            for m, e2 in enumerate(outs):
+                if m == 0:
+                    exts[i] = x + [int(e2)]
+                else:
+                    exts.append(x + [int(e2)])
+            # reference decrements i to re-process the extended path
+        # second pass reruns with the shrunken depth
+    return exts, depth
+
+
+def _cat_edges(hbv, x):
+    k = hbv.k
+    b = hbv.edge_seq(x[0]).copy()
+    for e in x[1:]:
+        b = np.concatenate([b, hbv.edge_seq(e)[k - 1 :]])
+    return b
+
+
+def clean200x(hbv, paths, reads, min_size: int = 0, verbosity: int = 0):
+    """Returns (hbv2, paths2)."""
+    for zpass in range(1, NPASSES + 1):
+        hbv, paths = _one_pass(hbv, paths, reads, min_size)
+    from ..graph import validate
+
+    validate.test_involution(hbv)
+    validate.validate_paths(hbv, paths)
+    return hbv, paths
+
+
+def _one_pass(hbv, paths, reads, min_size):
+    E = hbv.n_edges
+    inv = hbv.inv
+    kmers = hbv.edge_kmers()
+    fo, fe, to, te = hbv.vertex_csr()
+    pi_off, pi_read = invert_paths(paths, E)
+    k = hbv.k
+
+    # per-path-position bookkeeping for start computation
+    plens = paths.path_len()
+    rid_flat = np.repeat(np.arange(paths.n_reads), plens)
+
+    to_delete = []
+    indeg = hbv.in_degree()
+    outdeg = hbv.out_degree()
+
+    for v in range(hbv.n_vertices):
+        if indeg[v] == 0 or outdeg[v] <= 1:
+            continue
+        n = int(outdeg[v])
+        depth = MAX_RL
+        exts, depth = get_extensions(hbv, fo, fe, v, depth)
+        if len(exts) > MAX_EXTS:
+            continue
+        N = len(exts)
+        out_edges = fe[fo[v] : fo[v + 1]].tolist()
+        ei = np.array([out_edges.index(x[0]) for x in exts], dtype=np.int64)
+        bexts = [_cat_edges(hbv, x) for x in exts]
+        win = depth + k - 1
+        bmat = np.zeros((N, win), dtype=np.uint8)
+        bvalid = np.zeros((N, win), dtype=bool)
+        for l, b in enumerate(bexts):
+            m = min(win, len(b))
+            bmat[l, :m] = b[:m]
+            bvalid[l, :m] = True
+
+        # ---- collect (read, start) pairs, fwd orientation -------------
+        pi = _collect_fwd(hbv, paths, pi_off, pi_read, te, to, fe, fo, v, kmers)
+        rpi = _collect_rc(hbv, paths, pi_off, pi_read, te, to, fe, fo, v, kmers, inv)
+
+        scores = [[] for _ in range(n)]
+        _score_block(
+            reads, pi, bmat, bvalid, ei, n, N, win, scores, rc=False, k=k
+        )
+        _score_block(
+            reads, rpi, bmat, bvalid, ei, n, N, win, scores, rc=True, k=k
+        )
+
+        _analyze_scores(hbv, inv, v, scores, to_delete, out_edges)
+
+    # tiny standalone edges
+    if min_size > 0:
+        for v in range(hbv.n_vertices):
+            if to[v + 1] - to[v] != 0:
+                continue
+            if fo[v + 1] - fo[v] != 1:
+                continue
+            e = int(fe[fo[v]])
+            w = int(hbv.to_right[e])
+            if w == v:
+                continue
+            if to[w + 1] - to[w] != 1 or fo[w + 1] - fo[w] != 0:
+                continue
+            if kmers[e] > min_size:
+                continue
+            to_delete.append(e)
+
+    if to_delete:
+        hbv, paths = ops.delete_edges(hbv, paths, np.array(to_delete))
+    hbv, paths = ops.squeeze(hbv, paths)
+    return hbv, paths
+
+
+def _path_start_before(hbv, paths, id_, j, inclusive):
+    """start = offset - sum(kmers of path[0..j]) (incl/excl j)."""
+    p = paths.path(id_)
+    kmers = hbv.edge_kmers()
+    hi = j + 1 if inclusive else j
+    return int(paths.start[id_]) - int(np.sum(kmers[p[:hi]]))
+
+
+def _collect_fwd(hbv, paths, pi_off, pi_read, te, to, fe, fo, v, kmers):
+    """Clean200x fwd read collection (Clean200.cc:267-296): reads whose
+    path contains an in-edge of v (start incl.) or an out-edge of v not
+    preceded by an in-edge of v (start excl.)."""
+    out = []
+    ins = set(int(e) for e in te[to[v] : to[v + 1]])
+    for e in ins:
+        for ii in range(pi_off[e], pi_off[e + 1]):
+            id_ = int(pi_read[ii])
+            p = paths.path(id_)
+            for j in np.flatnonzero(p == e):
+                out.append((id_, _path_start_before(hbv, paths, id_, int(j), True)))
+    for e in fe[fo[v] : fo[v + 1]]:
+        e = int(e)
+        for ii in range(pi_off[e], pi_off[e + 1]):
+            id_ = int(pi_read[ii])
+            p = paths.path(id_)
+            for j in np.flatnonzero(p == e):
+                j = int(j)
+                if j > 0 and int(p[j - 1]) in ins:
+                    continue
+                out.append((id_, _path_start_before(hbv, paths, id_, j, False)))
+    return out
+
+
+def _collect_rc(hbv, paths, pi_off, pi_read, te, to, fe, fo, v, kmers, inv):
+    """Clean200x rc read collection (Clean200.cc:316-345)."""
+    out = []
+    res = set(int(inv[e]) for e in te[to[v] : to[v + 1]])
+    for re_ in res:
+        for ii in range(pi_off[re_], pi_off[re_ + 1]):
+            id_ = int(pi_read[ii])
+            p = paths.path(id_)
+            for j in np.flatnonzero(p == re_):
+                out.append((id_, _path_start_before(hbv, paths, id_, int(j), False)))
+    for e in fe[fo[v] : fo[v + 1]]:
+        rep = int(inv[e])
+        for ii in range(pi_off[rep], pi_off[rep + 1]):
+            id_ = int(pi_read[ii])
+            p = paths.path(id_)
+            for j in np.flatnonzero(p == rep):
+                j = int(j)
+                if j < len(p) - 1 and int(p[j + 1]) in res:
+                    continue
+                out.append((id_, _path_start_before(hbv, paths, id_, j, True)))
+    return out
+
+
+def _score_block(reads, pi, bmat, bvalid, ei, n, N, win, scores, rc, k):
+    """Vectorized qual-mismatch scoring (Clean200.cc:296-315,345-365)."""
+    if not pi:
+        return
+    ids = np.array([p[0] for p in pi], dtype=np.int64)
+    st = np.array([p[1] for p in pi], dtype=np.int64)
+    R = len(ids)
+    rb = reads.bases[ids]  # (R, L)
+    rq = reads.quals[ids]
+    rlen = reads.lengths[ids].astype(np.int64)
+    L = rb.shape[1]
+    pos = np.arange(win)
+    if not rc:
+        # rpos = pos - start
+        rpos = pos[None, :] - st[:, None]
+    else:
+        # rpos = K - 2 - pos - start
+        rpos = (k - 2) - pos[None, :] - st[:, None]
+    okr = (rpos >= 0) & (rpos < rlen[:, None])
+    rposc = np.clip(rpos, 0, L - 1)
+    rbase = np.take_along_axis(rb, rposc, axis=1)
+    rqual = np.take_along_axis(rq, rposc, axis=1)
+    q = np.zeros((R, N), dtype=np.int64)
+    for l in range(N):
+        if not rc:
+            eb = bmat[l][None, :]
+            ev = bvalid[l][None, :]
+        else:
+            # rbexts[l][s-pos-1] == rc(bexts)[s-1-pos] = complement of
+            # bexts[l][pos] — compare read base vs complement
+            eb = (3 - bmat[l])[None, :]
+            ev = bvalid[l][None, :]
+        mism = okr & ev & (rbase != eb)
+        q[:, l] = np.sum(np.where(mism, rqual, 0), axis=1)
+    # per-read best per branch
+    BIG = 10**9
+    qq = np.full((R, n), BIG, dtype=np.int64)
+    for l in range(N):
+        qq[:, ei[l]] = np.minimum(qq[:, ei[l]], q[:, l])
+    order = np.argsort(qq, axis=1, kind="stable")
+    best = np.take_along_axis(qq, order[:, :2], axis=1)
+    vote = best[:, 0] < best[:, 1]
+    for r in np.flatnonzero(vote):
+        scores[order[r, 0]].append(int(best[r, 1] - best[r, 0]))
+
+
+def _analyze_scores(hbv, inv, v, scores, to_delete, out_edges):
+    """AnalyzeScores (Clean200.cc:391-445), version=2 semantics."""
+    n = len(out_edges)
+    for j in range(n):
+        scores[j] = sorted(scores[j], reverse=True)
+    for d in range(MAX_DEL + 1):
+        qsum = np.zeros(n, dtype=np.int64)
+        for j in range(n):
+            for s in scores[j]:
+                if s <= d:
+                    break
+                qsum[j] += s
+        ids = np.argsort(-qsum, kind="stable")
+        qs = qsum[ids]
+        done = False
+        for r in range(1, n):
+            if qs[0] >= MIN_WIN and qs[r] <= MAX_LOSE and qs[0] >= MIN_RATIO * qs[r]:
+                done = True
+                for jj in range(r, n):
+                    e2 = out_edges[ids[jj]]
+                    to_delete.append(e2)
+                    to_delete.append(int(inv[e2]))
+                break
+        if done:
+            break

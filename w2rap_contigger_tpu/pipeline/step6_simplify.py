@@ -1,0 +1,121 @@
+"""Step 6 — graph simplification + lines + contig outputs.
+
+Reference: Simplify (src/paths/long/large/Simplify.cc:22-244) with the
+driver's parameters (w2rap-contigger.cc:477-494: MAX_SUPP_DEL=0,
+MIN_RATIO2=8, MAX_DEL2=200, DEGLOOP_MIN_DIST=2.5 ...), then FindLines +
+GFADump (w2rap-contigger.cc:496-558).
+
+Round-1 scope: the unsupported-edge deletion, small-component removal,
+and hanging-end passes run exactly; AnalyzeBranches / PopBubbles /
+Tamp / PullAparter / PathFinder / ImprovePaths / Degloop / Unwind are
+staged for the next rounds (each is an independent pass over the same
+graph-edit toolkit).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..graph import gfa, lines as lines_mod, ops
+
+MIN_MULT = 10  # Simplify.cc:44
+
+
+def remove_unsupported_edges(hbv, paths, max_supp_del: int = 0):
+    """Simplify.cc:41-95: at 2-way branches, delete the branch whose
+    path support is <= MAX_SUPP_DEL when the other has >= 10x support.
+    Two symmetric passes (From side, To side) with direction-aware
+    support counts."""
+    E = hbv.n_edges
+    inv = hbv.inv
+    flat = paths.edges
+    lens = paths.path_len()
+    rid = np.repeat(np.arange(paths.n_reads), lens)
+    local = (
+        np.arange(len(flat)) - np.repeat(paths.offsets[:-1], lens)
+        if len(flat)
+        else np.zeros(0, np.int64)
+    )
+    plen_of = np.repeat(lens, lens) if len(flat) else np.zeros(0, np.int64)
+
+    dels = []
+    fo, fe, to, te = hbv.vertex_csr()
+
+    # pass 1: From side; support counts entries at j>=1, + inv for j<last
+    support = np.zeros(E, dtype=np.int64)
+    if len(flat):
+        np.add.at(support, flat[local >= 1], 1)
+        np.add.at(support, inv[flat[local < plen_of - 1]], 1)
+    for v in range(hbv.n_vertices):
+        es = fe[fo[v] : fo[v + 1]]
+        if len(es) != 2:
+            continue
+        e1, e2 = int(es[0]), int(es[1])
+        if support[e1] > support[e2]:
+            e1, e2 = e2, e1
+        if support[e1] <= max_supp_del and support[e2] >= MIN_MULT * max(
+            1, support[e1]
+        ):
+            dels.append(e1)
+
+    # pass 2: To side; support counts entries at j<last, + inv for j>=1
+    support = np.zeros(E, dtype=np.int64)
+    if len(flat):
+        np.add.at(support, flat[local < plen_of - 1], 1)
+        np.add.at(support, inv[flat[local >= 1]], 1)
+    for v in range(hbv.n_vertices):
+        es = te[to[v] : to[v + 1]]
+        if len(es) != 2:
+            continue
+        e1, e2 = int(es[0]), int(es[1])
+        if support[e1] > support[e2]:
+            e1, e2 = e2, e1
+        if support[e1] <= max_supp_del and support[e2] >= MIN_MULT * max(
+            1, support[e1]
+        ):
+            dels.append(e1)
+
+    if dels:
+        hbv, paths = ops.delete_edges(hbv, paths, np.array(dels))
+        hbv, paths = ops.squeeze(hbv, paths)
+    return hbv, paths
+
+
+def simplify(hbv, paths, reads=None, max_supp_del: int = 0, max_del2: int = 200):
+    """The Simplify pass sequence (round-1 subset, order preserved)."""
+
+    def cleanup(h, p):
+        h, p = ops.squeeze(h, p)
+        return h, p
+
+    hbv, paths = remove_unsupported_edges(hbv, paths, max_supp_del)
+    hbv, paths = ops.remove_small_components(hbv, paths)
+    hbv, paths = cleanup(hbv, paths)
+    hbv, paths = ops.remove_hangs(hbv, paths, 100)
+    hbv, paths = cleanup(hbv, paths)
+    # [AnalyzeBranches(MIN_RATIO2=8) — next round]
+    hbv, paths = ops.remove_hangs(hbv, paths, max_del2)
+    hbv, paths = cleanup(hbv, paths)
+    hbv, paths = ops.remove_small_components(hbv, paths)
+    hbv, paths = cleanup(hbv, paths)
+    # [PopBubbles, Tamp, PullAparter, PathFinder, ImprovePaths, Degloop,
+    #  UnwindThreeEdgePlasmids — next rounds]
+    hbv, paths = ops.remove_hangs(hbv, paths, 700)
+    hbv, paths = cleanup(hbv, paths)
+    hbv, paths = ops.remove_small_components(hbv, paths, remove_small_cycles=True)
+    hbv, paths = cleanup(hbv, paths)
+
+    from ..graph import validate
+
+    validate.test_involution(hbv)
+    validate.validate_paths(hbv, paths)
+    return hbv, paths
+
+
+def contig_outputs(hbv, paths, out_dir: str, prefix: str = "a"):
+    """FindLines + GFADump + lines.fasta + stats."""
+    lines = lines_mod.find_lines_simple(hbv)
+    n_written = lines_mod.dump_line_files(hbv, lines, out_dir, prefix)
+    stats = lines_mod.write_stats(hbv, lines, out_dir)
+    gfa.gfa_dump(hbv, f"{out_dir}/{prefix}_contigs")
+    return lines, stats
