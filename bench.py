@@ -1,0 +1,84 @@
+"""Benchmark: step-2 kmer counting throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: canonical k=60 kmers counted per second per chip (kmerize +
+canonicalize + sort + collapse + merge tree, the BuildReadQGraph hot path
+— reference createDictOMPRecursive, BuildReadQGraph.cc:1015).
+Baseline: the reference's OpenMP counter on a 32-core CPU counts roughly
+3.0e7 kmers/s (measured class of machine, SURVEY.md §6; BASELINE.json
+targets >=5x this on one v5e chip).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_KMERS_PER_SEC = 3.0e7
+
+
+def main():
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import numpy as np
+
+    from w2rap_contigger_tpu.ops import kmer_engine as ke
+
+    k, L = 60, 250
+    chunk = 65536
+    n_reads = 8 * chunk  # ~100M kmer instances
+    rng = np.random.default_rng(42)
+
+    # synthetic genome + reads (uniform coverage, 0.3% error)
+    genome = rng.integers(0, 4, size=4_600_000).astype(np.uint8)
+    starts = rng.integers(0, len(genome) - L, size=n_reads)
+    idx = starts[:, None] + np.arange(L)[None, :]
+    bases = genome[idx]
+    err = rng.random((n_reads, L)) < 0.003
+    bases = np.where(err, (bases + 1) % 4, bases).astype(np.uint8)
+    lengths = np.full(n_reads, L, dtype=np.int32)
+    quals = np.full((n_reads, L), 35, dtype=np.uint8)
+    quals[rng.random((n_reads, L)) < 0.02] = 2  # some low-qual positions
+
+    # warmup/compile on the first chunk sizes
+    _ = ke.count_kmers(
+        bases[:chunk], lengths[:chunk], quals[:chunk], k,
+        chunk_reads=chunk,
+    )
+
+    t0 = time.time()
+    d, hist = ke.count_kmers(
+        bases, lengths, quals, k, chunk_reads=chunk
+    )
+    dt = time.time() - t0
+
+    n_kmers = int(n_reads) * (L - k + 1)  # upper bound; qual gate trims
+    rate = n_kmers / dt
+    print(
+        json.dumps(
+            {
+                "metric": "k60_kmers_counted_per_sec_per_chip",
+                "value": round(rate, 1),
+                "unit": "kmers/s",
+                "vs_baseline": round(rate / BASELINE_KMERS_PER_SEC, 2),
+                "detail": {
+                    "reads": n_reads,
+                    "wall_s": round(dt, 2),
+                    "unique_kmers": int(d.size),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
