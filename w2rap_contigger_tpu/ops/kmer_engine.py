@@ -81,20 +81,35 @@ def kmer_windows(packed, k: int, n_pos: int):
 
     packed: (N, WR) uint32 rows; returns (N, n_pos, W) uint32 where window
     p covers bases [p, p+k).
+
+    Implementation note: positions are processed in 16 phases (p = 16q+r)
+    so every access is a static SLICE of the packed rows combined with a
+    fixed shift — XLA compiles this to pure vector ops, whereas the naive
+    static-index gather blows up compile time superlinearly.
     """
     n, WR = packed.shape
     W = bk.nwords(k)
-    p = np.arange(n_pos)
-    widx = (p >> 4)[:, None] + np.arange(W + 1)[None, :]  # (n_pos, W+1)
-    widx = np.minimum(widx, WR - 1)  # clamp; tail windows are masked later
-    sh = (2 * (p & 15)).astype(np.uint32)  # (n_pos,)
-    g = packed[:, widx]  # (N, n_pos, W+1)
-    hi = g[:, :, :W]
-    lo = g[:, :, 1:]
-    sh_b = jnp.asarray(sh)[None, :, None]
-    combined = jnp.where(
-        sh_b == 0, hi, (hi << sh_b) | (lo >> (np.uint32(32) - sh_b))
-    )
+    Pq = (n_pos + 15) // 16
+    need = Pq + W + 1
+    if WR < need:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((n, need - WR), dtype=packed.dtype)], axis=1
+        )
+    # word lane j of window at q-word offset: packed[:, q+j]
+    lanes = [packed[:, j : j + Pq] for j in range(W + 1)]  # each (N, Pq)
+    per_w = []
+    for j in range(W):
+        hi, lo = lanes[j], lanes[j + 1]
+        per_r = []
+        for r in range(16):
+            if r == 0:
+                per_r.append(hi)
+            else:
+                s = np.uint32(2 * r)
+                per_r.append(((hi << s) | (lo >> np.uint32(32 - 2 * r))) & bk.FULL)
+        per_w.append(jnp.stack(per_r, axis=2))  # (N, Pq, 16)
+    combined = jnp.stack(per_w, axis=3)  # (N, Pq, 16, W)
+    combined = combined.reshape(n, Pq * 16, W)[:, :n_pos]
     # zero the pad bits below base k-1 in the last word
     pad = 2 * (16 * W - k)
     if pad:
@@ -166,6 +181,71 @@ def _seg_or_scan(ctx, is_start):
     return vals
 
 
+def _collapse_sorted(sw, sctx, scnt, w):
+    """Collapse equal adjacent keys of already-sorted rows.
+
+    Built from compile-cheap primitives only (this runs at sizes where
+    the TPU backend's compile time grows with op-graph complexity):
+    * segment ids from one cumsum,
+    * per-segment count sums from ONE global cumsum (difference of the
+      cumsum at the row vs at the segment start, found via cummax),
+    * context OR via per-bit scatter-max,
+    * compaction via scatter-max (all rows of a segment write the same
+      words; the segment-end scan value is the per-segment total).
+    """
+    M = sw.shape[0]
+    prev = jnp.roll(sw, 1, axis=0)
+    is_start = ~bk.words_eq(sw, prev)
+    is_start = is_start.at[0].set(True)
+    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # sorted, 0-based
+
+    jidx = jnp.arange(M, dtype=jnp.int32)
+    # index of the first row of this row's segment
+    seg_start_idx = jax.lax.cummax(jnp.where(is_start, jidx, 0), axis=0)
+    # segmented sum scan from one global cumsum
+    cs = jnp.cumsum(scnt)
+    cnt_scan = cs - cs[seg_start_idx] + scnt[seg_start_idx]
+
+    # valid rows (non-sentinel) sort before the all-FULL sentinel rows
+    sentinel = bk.words_eq(sw, jnp.full((1, w), FULL, dtype=jnp.uint32))
+    total_valid = jnp.sum((~sentinel).astype(jnp.int32))
+    n_unique = jnp.where(
+        total_valid > 0, seg[jnp.maximum(total_valid - 1, 0)] + 1, 0
+    )
+
+    # compaction
+    out_words = jnp.zeros_like(sw).at[seg].max(sw)
+    bits = (sctx[:, None] >> np.arange(8).astype(np.uint32)[None, :]) & 1
+    out_bits = jnp.zeros_like(bits).at[seg].max(bits)
+    out_ctx = jnp.sum(
+        out_bits << np.arange(8).astype(np.uint32)[None, :], axis=1, dtype=sctx.dtype
+    )
+    out_cnt = jnp.minimum(
+        jnp.zeros_like(cnt_scan).at[seg].max(cnt_scan), 255
+    ).astype(jnp.int32)
+
+    tail = jidx >= n_unique
+    out_words = jnp.where(tail[:, None], FULL, out_words)
+    out_ctx = jnp.where(tail, 0, out_ctx)
+    out_cnt = jnp.where(tail, 0, out_cnt)
+    return out_words, out_ctx, out_cnt, n_unique
+
+
+@functools.partial(jax.jit, static_argnames=("w",))
+def sort_collapse_leaf(words, ctx, w: int):
+    """Leaf-level sort+collapse: every row has implicit count 1 (invalid
+    rows are all-FULL sentinels and count as 0).  One fewer sort operand
+    than the merge form — the leaf sorts dominate total work."""
+    M = words.shape[0]
+    ops = [words[:, i] for i in range(w)] + [ctx]
+    sorted_ops = jax.lax.sort(ops, num_keys=w)
+    sw = jnp.stack(sorted_ops[:w], axis=-1)
+    sctx = sorted_ops[w]
+    sentinel = bk.words_eq(sw, jnp.full((1, w), FULL, dtype=jnp.uint32))
+    scnt = (~sentinel).astype(jnp.int32)
+    return _collapse_sorted(sw, sctx, scnt, w)
+
+
 @functools.partial(jax.jit, static_argnames=("w",))
 def sort_collapse(words, ctx, counts, w: int):
     """Sort kmer rows and collapse equal keys.
@@ -177,58 +257,10 @@ def sort_collapse(words, ctx, counts, w: int):
     Returns (sorted unique words (M, w) [tail = sentinel], ctx, counts,
     n_unique:int32).  Counts saturate at 255.
     """
-    M = words.shape[0]
     ops = [words[:, i] for i in range(w)] + [ctx, counts.astype(jnp.int32)]
     sorted_ops = jax.lax.sort(ops, num_keys=w)
     sw = jnp.stack(sorted_ops[:w], axis=-1)
-    sctx = sorted_ops[w]
-    scnt = sorted_ops[w + 1]
-
-    prev = jnp.roll(sw, 1, axis=0)
-    is_start = ~bk.words_eq(sw, prev)
-    is_start = is_start.at[0].set(True)
-    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # sorted, 0-based
-
-    # context OR and count sum via segmented scans (no scatter)
-    ctx_scan = _seg_or_scan(sctx, is_start)
-
-    def add_combine(a, b):
-        av, af = a
-        bv, bf = b
-        return jnp.where(bf, bv, av + bv), af | bf
-
-    cnt_scan, _ = jax.lax.associative_scan(
-        add_combine, (scnt, is_start), axis=0
-    )
-
-    # compaction without scatter: argsort segment-start markers so slot j
-    # holds the row index where segment j begins.
-    jidx = jnp.arange(M, dtype=jnp.int32)
-    start_key = jnp.where(is_start, seg, jnp.int32(M))
-    start_pos = jnp.argsort(start_key).astype(jnp.int32)
-
-    # number of unique VALID kmers: valid rows (count > 0) sort before the
-    # all-FULL sentinel rows.
-    total_valid = jnp.sum((scnt > 0).astype(jnp.int32))
-    n_unique = jnp.where(
-        total_valid > 0, seg[jnp.maximum(total_valid - 1, 0)] + 1, 0
-    )
-
-    # segment j ends right before segment j+1 starts; the last valid
-    # segment always ends at total_valid-1.
-    nxt = jnp.concatenate([start_pos[1:], jnp.full((1,), M, jnp.int32)])
-    end_pos = jnp.where(jidx == n_unique - 1, total_valid - 1, nxt - 1)
-    end_pos = jnp.clip(end_pos, 0, M - 1)
-
-    out_words = sw[start_pos]
-    out_ctx = ctx_scan[end_pos]
-    out_cnt = jnp.minimum(cnt_scan[end_pos], 255)
-    # mask tail slots to sentinel
-    tail = jidx >= n_unique
-    out_words = jnp.where(tail[:, None], FULL, out_words)
-    out_ctx = jnp.where(tail, 0, out_ctx)
-    out_cnt = jnp.where(tail, 0, out_cnt)
-    return out_words, out_ctx, out_cnt, n_unique
+    return _collapse_sorted(sw, sorted_ops[w], sorted_ops[w + 1], w)
 
 
 # ---------------------------------------------------------------------------
@@ -337,9 +369,7 @@ def count_kmers(
         cw, cctx, cvalid = kmerize_chunk(
             jnp.asarray(cb), jnp.asarray(cl), jnp.asarray(cq), k, min_qual
         )
-        ow, octx, ocnt, nu = sort_collapse(
-            cw, cctx, cvalid.astype(jnp.int32), W
-        )
+        ow, octx, ocnt, nu = sort_collapse_leaf(cw, cctx, W)
         nu = int(nu)
         ow, octx, ocnt = _pad_rows(ow, octx, ocnt, nu, _quantize(nu, pad_quantum))
         push(0, ow, octx, ocnt, nu)
@@ -468,9 +498,7 @@ def count_kmers_flat(
             jnp.asarray(sc),
             k,
         )
-        ow, octx, ocnt, nu = sort_collapse(
-            cw, cctx, cvalid.astype(jnp.int32), W
-        )
+        ow, octx, ocnt, nu = sort_collapse_leaf(cw, cctx, W)
         nu = int(nu)
         ow, octx, ocnt = _pad_rows(ow, octx, ocnt, nu, _quantize(nu, pad_quantum))
         push(0, ow, octx, ocnt, nu)
