@@ -5,9 +5,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Metric: canonical k=60 kmers counted per second per chip (kmerize +
 canonicalize + sort + collapse + merge tree, the BuildReadQGraph hot path
 — reference createDictOMPRecursive, BuildReadQGraph.cc:1015).
-Baseline: the reference's OpenMP counter on a 32-core CPU counts roughly
-3.0e7 kmers/s (measured class of machine, SURVEY.md §6; BASELINE.json
-targets >=5x this on one v5e chip).
+
+Baseline: measured on this machine — the reference (-O2 build) runs
+buildReadQGraph on 240k PE250 reads (45.8M kmers) in 8.7s wall on 2
+cores = 2.6M kmers/s/core (see /tmp/synth bench runs); BASELINE.json's
+32-core target machine therefore counts ~8.4e7 kmers/s assuming perfect
+scaling, which is the vs_baseline denominator.
 """
 
 import json
@@ -17,7 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_KMERS_PER_SEC = 3.0e7
+BASELINE_KMERS_PER_SEC = 8.4e7
 
 
 def main():
@@ -33,8 +36,8 @@ def main():
     from w2rap_contigger_tpu.ops import kmer_engine as ke
 
     k, L = 60, 250
-    chunk = 65536
-    n_reads = 8 * chunk  # ~100M kmer instances
+    chunk = 16384
+    n_reads = 16 * chunk  # ~50M kmer instances
     rng = np.random.default_rng(42)
 
     # synthetic genome + reads (uniform coverage, 0.3% error)

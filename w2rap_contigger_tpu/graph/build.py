@@ -67,11 +67,14 @@ def recompute_adjacencies(d):
     """d: ops.kmer_engine.KmerDict; updates d.ctx in place (host mirror)."""
     if d.size == 0:
         return d
-    n_iters = max(1, int(np.ceil(np.log2(d.size + 1))))
+    from ..ops.kmer_engine import padded_dict_views
+
+    wp, cp, _, mp = padded_dict_views(d)
+    n_iters = max(1, int(np.ceil(np.log2(mp + 1))))
     new_ctx = _recompute_adjacencies_dev(
-        jnp.asarray(d.words), jnp.asarray(d.ctx), d.k, n_iters
+        jnp.asarray(wp), jnp.asarray(cp), d.k, n_iters
     )
-    d.ctx = np.asarray(new_ctx)
+    d.ctx = np.asarray(new_ctx)[: d.size]
     return d
 
 
@@ -181,15 +184,35 @@ def build_unitigs(d):
         d.edge_rc = np.zeros(0, bool)
         return np.zeros(0, np.uint8), np.zeros(1, np.int64)
 
-    n_iters = max(1, int(np.ceil(np.log2(M + 1))))
-    nxt_d = _build_links_dev(jnp.asarray(d.words), jnp.asarray(d.ctx), k, n_iters)
-    rank_iters = max(1, int(np.ceil(np.log2(2 * M + 1))) + 1)
+    # device work runs on the quantum-padded dict (stable jit shapes);
+    # padded sentinel rows have empty contexts so they form isolated
+    # chains that the host filters out below.
+    from ..ops.kmer_engine import padded_dict_views
+
+    wp, cp, _, Mp = padded_dict_views(d)
+    n_iters = max(1, int(np.ceil(np.log2(Mp + 1))))
+    nxt_d = _build_links_dev(jnp.asarray(wp), jnp.asarray(cp), k, n_iters)
+    rank_iters = max(1, int(np.ceil(np.log2(2 * Mp + 1))) + 1)
     head_d, rank_d, cyc_d = _list_rank_dev(nxt_d, rank_iters)
 
     nxt = np.asarray(nxt_d)
     head = np.asarray(head_d)
     rank = np.asarray(rank_d)
     on_cycle = np.asarray(cyc_d)
+
+    # compact the padded node space (2*Mp) back to 2*M: padded sentinel
+    # nodes are isolated singletons and never targets of real links.
+    if Mp != M:
+        valid_node = (np.arange(2 * Mp) % Mp) < M
+
+        def _remap(n):
+            n = np.asarray(n, dtype=np.int64)
+            return np.where(n < 0, -1, (n % Mp) + (n // Mp) * M)
+
+        nxt = _remap(nxt[valid_node]).astype(np.int32)
+        head = _remap(head[valid_node]).astype(np.int32)
+        rank = rank[valid_node]
+        on_cycle = on_cycle[valid_node]
 
     words = d.words
     rcw = bk.rc_words(words, k)

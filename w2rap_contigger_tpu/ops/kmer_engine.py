@@ -202,9 +202,14 @@ def _collapse_sorted(sw, sctx, scnt, w):
     jidx = jnp.arange(M, dtype=jnp.int32)
     # index of the first row of this row's segment
     seg_start_idx = jax.lax.cummax(jnp.where(is_start, jidx, 0), axis=0)
-    # segmented sum scan from one global cumsum
-    cs = jnp.cumsum(scnt)
+    # segmented sum scans from global cumsums (difference vs segment start)
+    cs = jnp.cumsum(scnt.astype(jnp.int32))
     cnt_scan = cs - cs[seg_start_idx] + scnt[seg_start_idx]
+    bits = ((sctx[:, None] >> np.arange(8).astype(np.uint32)[None, :]) & 1).astype(
+        jnp.int32
+    )
+    csb = jnp.cumsum(bits, axis=0)
+    bit_tot = csb - csb[seg_start_idx] + bits[seg_start_idx]
 
     # valid rows (non-sentinel) sort before the all-FULL sentinel rows
     sentinel = bk.words_eq(sw, jnp.full((1, w), FULL, dtype=jnp.uint32))
@@ -213,16 +218,18 @@ def _collapse_sorted(sw, sctx, scnt, w):
         total_valid > 0, seg[jnp.maximum(total_valid - 1, 0)] + 1, 0
     )
 
-    # compaction
-    out_words = jnp.zeros_like(sw).at[seg].max(sw)
-    bits = (sctx[:, None] >> np.arange(8).astype(np.uint32)[None, :]) & 1
-    out_bits = jnp.zeros_like(bits).at[seg].max(bits)
+    # compaction: ONE narrow scatter-max finds each segment's last row;
+    # everything else is gathers (scatters of wide rows are the slow op
+    # on this backend).
+    rep_idx = jnp.zeros(M, dtype=jnp.int32).at[seg].max(jidx)
+    out_words = sw[rep_idx]
+    out_cnt = jnp.minimum(cnt_scan[rep_idx], 255).astype(jnp.int32)
+    out_bits = (bit_tot[rep_idx] > 0).astype(jnp.uint32)
     out_ctx = jnp.sum(
-        out_bits << np.arange(8).astype(np.uint32)[None, :], axis=1, dtype=sctx.dtype
+        out_bits << np.arange(8).astype(np.uint32)[None, :],
+        axis=1,
+        dtype=sctx.dtype,
     )
-    out_cnt = jnp.minimum(
-        jnp.zeros_like(cnt_scan).at[seg].max(cnt_scan), 255
-    ).astype(jnp.int32)
 
     tail = jidx >= n_unique
     out_words = jnp.where(tail[:, None], FULL, out_words)
@@ -524,3 +531,34 @@ def count_kmers_flat(
     return KmerDict(
         words[keep], cnt[keep].astype(np.int32), ctx[keep].astype(np.uint32), k
     )
+
+
+DICT_QUANTUM = 1 << 20
+
+
+def padded_dict_views(d, quantum: int = DICT_QUANTUM):
+    """Device views of the dictionary padded to a size quantum.
+
+    Padding rows are all-FULL sentinels (they sort after every valid kmer
+    and can never equal a query, so binary search is unaffected), with
+    ctx 0 and kdef fields 0.  Keeps jit cache keys stable across datasets
+    — compile time on the TPU backend scales badly with fresh shapes.
+    Returns (words_pad, ctx_pad, kdef_pad tuple or None, m_pad).
+    """
+    m = d.size
+    W = d.words.shape[1] if d.words.ndim == 2 else bk.nwords(d.k)
+    m_pad = max(quantum, ((m + quantum - 1) // quantum) * quantum)
+    words = np.full((m_pad, W), FULL, dtype=np.uint32)
+    words[:m] = d.words
+    ctx = np.zeros(m_pad, dtype=np.uint32)
+    ctx[:m] = d.ctx
+    kdef = None
+    if d.edge_id is not None:
+        eid = np.zeros(m_pad, dtype=np.int32)
+        eid[:m] = d.edge_id
+        eoff = np.zeros(m_pad, dtype=np.int32)
+        eoff[:m] = d.edge_offset
+        erc = np.zeros(m_pad, dtype=bool)
+        erc[:m] = d.edge_rc
+        kdef = (eid, eoff, erc)
+    return words, ctx, kdef, m_pad

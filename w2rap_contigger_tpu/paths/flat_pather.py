@@ -56,13 +56,14 @@ def path_flat_sequences(
     k = d.k
     T = len(flat_bases)
     S = len(seg_offsets) - 1
-    n_iters = max(1, int(np.ceil(np.log2(d.size + 1))))
+    wp, cp, kdef, mp = ke.padded_dict_views(d)
+    n_iters = max(1, int(np.ceil(np.log2(mp + 1))))
     halo = 16 * ((k + 15) // 16)
 
-    table_t = jnp.asarray(d.words).T
-    kdef_edge = jnp.asarray(d.edge_id)
-    kdef_off = jnp.asarray(d.edge_offset)
-    kdef_rc = jnp.asarray(d.edge_rc)
+    table_t = jnp.asarray(wp).T
+    kdef_edge = jnp.asarray(kdef[0])
+    kdef_off = jnp.asarray(kdef[1])
+    kdef_rc = jnp.asarray(kdef[2])
     fx = jnp.asarray(fwd_xlat)
     rx = jnp.asarray(rev_xlat)
     ekm_canon = jnp.asarray(

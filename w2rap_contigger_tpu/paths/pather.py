@@ -248,12 +248,13 @@ def path_reads(
     k = d.k
     n = reads.n_reads
     L = reads.max_len
-    n_iters = max(1, int(np.ceil(np.log2(d.size + 1))))
+    wp, cp, kdef, mp = ke.padded_dict_views(d)
+    n_iters = max(1, int(np.ceil(np.log2(mp + 1))))
 
-    table_t = jnp.asarray(d.words).T
-    kdef_edge = jnp.asarray(d.edge_id)
-    kdef_off = jnp.asarray(d.edge_offset)
-    kdef_rc = jnp.asarray(d.edge_rc)
+    table_t = jnp.asarray(wp).T
+    kdef_edge = jnp.asarray(kdef[0])
+    kdef_off = jnp.asarray(kdef[1])
+    kdef_rc = jnp.asarray(kdef[2])
     fwd_x = jnp.asarray(fwd_xlat)
     rev_x = jnp.asarray(rev_xlat)
     ekm_canon = jnp.asarray(
