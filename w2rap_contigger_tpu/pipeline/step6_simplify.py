@@ -88,17 +88,22 @@ def simplify(hbv, paths, reads=None, max_supp_del: int = 0, max_del2: int = 200)
         h, p = ops.squeeze(h, p)
         return h, p
 
+    from ..graph import branches, bubbles
+
     hbv, paths = remove_unsupported_edges(hbv, paths, max_supp_del)
     hbv, paths = ops.remove_small_components(hbv, paths)
     hbv, paths = cleanup(hbv, paths)
     hbv, paths = ops.remove_hangs(hbv, paths, 100)
     hbv, paths = cleanup(hbv, paths)
-    # [AnalyzeBranches(MIN_RATIO2=8) — next round]
+    hbv, paths = branches.analyze_branches(hbv, paths, min_ratio2=8)
+    hbv, paths = cleanup(hbv, paths)
     hbv, paths = ops.remove_hangs(hbv, paths, max_del2)
     hbv, paths = cleanup(hbv, paths)
     hbv, paths = ops.remove_small_components(hbv, paths)
     hbv, paths = cleanup(hbv, paths)
-    # [PopBubbles, Tamp, PullAparter, PathFinder, ImprovePaths, Degloop,
+    hbv, paths = bubbles.pop_bubbles(hbv, paths, reads)
+    hbv, paths = cleanup(hbv, paths)
+    # [Tamp, PullAparter, PathFinder, ImprovePaths, Degloop,
     #  UnwindThreeEdgePlasmids — next rounds]
     hbv, paths = ops.remove_hangs(hbv, paths, 700)
     hbv, paths = cleanup(hbv, paths)
