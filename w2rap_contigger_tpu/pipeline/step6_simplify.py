@@ -118,9 +118,11 @@ def simplify(hbv, paths, reads=None, max_supp_del: int = 0, max_del2: int = 200)
 
 
 def contig_outputs(hbv, paths, out_dir: str, prefix: str = "a"):
-    """FindLines + GFADump + lines.fasta + stats."""
-    lines = lines_mod.find_lines_simple(hbv)
-    n_written = lines_mod.dump_line_files(hbv, lines, out_dir, prefix)
+    """FindLines + SortLines + DumpLineFiles + stats + GFADump
+    (w2rap-contigger.cc:496-558, FinalFiles.cc:22)."""
+    lines = lines_mod.find_lines(hbv, max_cell_paths=50, max_depth=10)
+    lines = lines_mod.sort_lines(hbv, lines)
+    lines_mod.dump_line_files(hbv, lines, out_dir, prefix, paths=paths)
     stats = lines_mod.write_stats(hbv, lines, out_dir)
     gfa.gfa_dump(hbv, f"{out_dir}/{prefix}_contigs")
     return lines, stats
