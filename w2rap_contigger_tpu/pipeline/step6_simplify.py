@@ -118,11 +118,18 @@ def simplify(hbv, paths, reads=None, max_supp_del: int = 0, max_del2: int = 200)
 
 
 def contig_outputs(hbv, paths, out_dir: str, prefix: str = "a"):
-    """FindLines + SortLines + DumpLineFiles + stats + GFADump
-    (w2rap-contigger.cc:496-558, FinalFiles.cc:22)."""
+    """FindLines + SortLines + DumpLineFiles + coverage/CN + FragDist +
+    stats + GFADump (w2rap-contigger.cc:496-558, FinalFiles.cc:22)."""
+    from . import coverage as cov_mod
+
     lines = lines_mod.find_lines(hbv, max_cell_paths=50, max_depth=10)
     lines = lines_mod.sort_lines(hbv, lines)
     lines_mod.dump_line_files(hbv, lines, out_dir, prefix, paths=paths)
     stats = lines_mod.write_stats(hbv, lines, out_dir)
+    covs, base_cov = cov_mod.compute_coverage(hbv, paths, lines)
+    stats["cn_frac_good"] = round(cov_mod.cn_integer_fraction(hbv, covs), 2)
+    with open(f"{out_dir}/stats", "a") as f:
+        f.write(f"cn_frac_good: {stats['cn_frac_good']}\n")
+    cov_mod.frag_dist(hbv, paths, f"{out_dir}/{prefix}.fin.frags.dist")
     gfa.gfa_dump(hbv, f"{out_dir}/{prefix}_contigs")
     return lines, stats
