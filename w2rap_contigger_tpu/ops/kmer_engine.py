@@ -322,6 +322,70 @@ def _pad_rows(words, ctx, cnt, n_valid: int, cap: int):
     )
 
 
+def _vview(words):
+    """(M, W) uint32 -> (M,) big-endian void view (memcmp == lexicographic)."""
+    be = np.ascontiguousarray(words.astype(">u4"))
+    return be.view(f"V{4 * words.shape[1]}").reshape(-1)
+
+
+def host_merge_sorted(a, b):
+    """Merge two sorted-unique (words, ctx, cnt) runs on host (numpy).
+
+    The device does the heavy leaf sorts at one fixed shape; merging
+    sorted unique runs is O(n) memory moves + binary searches, which the
+    host does without any fresh XLA compiles.  Counts saturate at 255
+    like the reference's combine_Entries (BuildReadQGraph.cc:948).
+    """
+    wA, cA, nA = a
+    wB, cB, nB = b
+    vA = _vview(wA)
+    vB = _vview(wB)
+    pos = np.searchsorted(vA, vB)
+    posc = np.minimum(pos, len(vA) - 1)
+    eq = (pos < len(vA)) & (vA[posc] == vB)
+
+    ctxA = cA.copy()
+    cntA = nA.copy()
+    hit = posc[eq]
+    ctxA[hit] |= cB[eq]
+    cntA[hit] = np.minimum(cntA[hit].astype(np.int64) + nB[eq], 255).astype(
+        cntA.dtype
+    )
+
+    unm = ~eq
+    n_un = int(unm.sum())
+    if n_un == 0:
+        return wA, ctxA, cntA
+    posu = pos[unm]  # nondecreasing
+    a_dst = np.arange(len(vA)) + np.searchsorted(
+        posu, np.arange(len(vA)), side="right"
+    )
+    b_dst = posu + np.arange(n_un)
+    n_out = len(vA) + n_un
+    wO = np.empty((n_out, wA.shape[1]), dtype=np.uint32)
+    cO = np.empty(n_out, dtype=cA.dtype)
+    nO = np.empty(n_out, dtype=nA.dtype)
+    wO[a_dst] = wA
+    cO[a_dst] = ctxA
+    nO[a_dst] = cntA
+    wO[b_dst] = wB[unm]
+    cO[b_dst] = cB[unm]
+    nO[b_dst] = nB[unm]
+    return wO, cO, nO
+
+
+def _host_merge_all(runs):
+    """Balanced pairwise host merge of sorted-unique runs."""
+    while len(runs) > 1:
+        nxt = []
+        for i in range(0, len(runs) - 1, 2):
+            nxt.append(host_merge_sorted(runs[i], runs[i + 1]))
+        if len(runs) % 2:
+            nxt.append(runs[-1])
+        runs = nxt
+    return runs[0]
+
+
 def count_kmers(
     bases,
     lengths,
@@ -339,30 +403,16 @@ def count_kmers(
     (reference BuildReadQGraph.cc:1095-1115).
     min_freq filters the dictionary but not the histogram.
 
-    Chunks of reads are kmerized+collapsed on device, then merged with a
-    binary-counter merge tree (the TPU equivalent of the reference's OMP
-    task tree, BuildReadQGraph.cc:1018-1048).  All device buffers are
-    padded to PAD_QUANTUM multiples so XLA compile caches hit.
+    Chunks of reads are kmerized + sorted + collapsed on device at ONE
+    fixed shape (compile-cache friendly); the sorted unique runs are then
+    merged on host (the analogue of the reference's OMP merge tree,
+    BuildReadQGraph.cc:1018-1048, and of its disk-batch k-way merge).
     """
     n = bases.shape[0]
     W = bk.nwords(k)
     L = bases.shape[1]
 
-    # levels[i] = (words, ctx, cnt, n_valid) — binary-counter merge tree
-    levels: dict[int, tuple] = {}
-
-    def push(level, words, ctx, cnt, nu):
-        while level in levels:
-            ow, octx, ocnt, onu = levels.pop(level)
-            wcat = jnp.concatenate([words, ow], axis=0)
-            ccat = jnp.concatenate([ctx, octx], axis=0)
-            ncat = jnp.concatenate([cnt, ocnt], axis=0)
-            words, ctx, cnt, nu_d = sort_collapse(wcat, ccat, ncat, W)
-            nu = int(nu_d)
-            words, ctx, cnt = _pad_rows(words, ctx, cnt, nu, _quantize(nu, pad_quantum))
-            level += 1
-        levels[level] = (words, ctx, cnt, nu)
-
+    runs = []
     n_chunks = max(1, -(-n // chunk_reads))
     for ci in range(n_chunks):
         start = ci * chunk_reads
@@ -378,25 +428,21 @@ def count_kmers(
         )
         ow, octx, ocnt, nu = sort_collapse_leaf(cw, cctx, W)
         nu = int(nu)
-        ow, octx, ocnt = _pad_rows(ow, octx, ocnt, nu, _quantize(nu, pad_quantum))
-        push(0, ow, octx, ocnt, nu)
+        runs.append(
+            (
+                np.asarray(ow[:nu]),
+                np.asarray(octx[:nu]),
+                np.asarray(ocnt[:nu]),
+            )
+        )
 
-    # final cross-level merge
-    items = [levels[l] for l in sorted(levels)]
-    while len(items) > 1:
-        (w1, c1, n1, u1), (w2, c2, n2, u2) = items[0], items[1]
-        wcat = jnp.concatenate([w1, w2], axis=0)
-        ccat = jnp.concatenate([c1, c2], axis=0)
-        ncat = jnp.concatenate([n1, n2], axis=0)
-        ow, octx, ocnt, nu = sort_collapse(wcat, ccat, ncat, W)
-        nu = int(nu)
-        ow, octx, ocnt = _pad_rows(ow, octx, ocnt, nu, _quantize(nu, pad_quantum))
-        items = [(ow, octx, ocnt, nu)] + items[2:]
-
-    words_d, ctx_d, cnt_d, nu = items[0]
-    words = np.asarray(words_d[:nu])
-    ctx = np.asarray(ctx_d[:nu])
-    cnt = np.asarray(cnt_d[:nu])
+    if not runs:
+        empty = np.zeros((0, W), dtype=np.uint32)
+        return (
+            KmerDict(empty, np.zeros(0, np.int32), np.zeros(0, np.uint32), k),
+            np.zeros(101, dtype=np.int64),
+        )
+    words, ctx, cnt = _host_merge_all(runs)
 
     hist = np.zeros(101, dtype=np.int64)
     if cnt.size:
@@ -466,32 +512,17 @@ def count_kmers_flat(
     seg_end = seg_offsets[seg_of + 1]
     seg_start = seg_offsets[seg_of]
 
-    levels: dict[int, tuple] = {}
-
-    def push(level, words, ctx, cnt, nu):
-        while level in levels:
-            ow, octx, ocnt, onu = levels.pop(level)
-            wcat = jnp.concatenate([words, ow], axis=0)
-            ccat = jnp.concatenate([ctx, octx], axis=0)
-            ncat = jnp.concatenate([cnt, ocnt], axis=0)
-            words, ctx, cnt, nu_d = sort_collapse(wcat, ccat, ncat, W)
-            nu = int(nu_d)
-            words, ctx, cnt = _pad_rows(
-                words, ctx, cnt, nu, _quantize(nu, pad_quantum)
-            )
-            level += 1
-        levels[level] = (words, ctx, cnt, nu)
-
+    runs = []
     halo = 16 * ((k + 15) // 16)
-    for s in range(0, n_pos, chunk_pos):
-        C = min(chunk_pos, n_pos - s)
+    for st in range(0, n_pos, chunk_pos):
+        C = min(chunk_pos, n_pos - st)
         Cpad = chunk_pos
         cb = np.zeros(Cpad + halo, dtype=np.uint8)
-        avail = min(T - s, Cpad + halo)
-        cb[:avail] = flat_bases[s : s + avail]
-        pos = np.arange(Cpad) + s
+        avail = min(T - st, Cpad + halo)
+        cb[:avail] = flat_bases[st : st + avail]
+        pos = np.arange(Cpad) + st
         posc = np.minimum(pos, T - 1)
-        valid = (pos < s + C) & (pos + k <= seg_end[posc])
+        valid = (pos < st + C) & (pos + k <= seg_end[posc])
         hp = valid & (pos > seg_start[posc])
         hs = valid & (pos + k < seg_end[posc])
         pc = flat_bases[np.maximum(posc - 1, 0)]
@@ -507,26 +538,14 @@ def count_kmers_flat(
         )
         ow, octx, ocnt, nu = sort_collapse_leaf(cw, cctx, W)
         nu = int(nu)
-        ow, octx, ocnt = _pad_rows(ow, octx, ocnt, nu, _quantize(nu, pad_quantum))
-        push(0, ow, octx, ocnt, nu)
-
-    items = [levels[l] for l in sorted(levels)]
-    while len(items) > 1:
-        (w1, c1, n1, u1), (w2, c2, n2, u2) = items[0], items[1]
-        ow, octx, ocnt, nu = sort_collapse(
-            jnp.concatenate([w1, w2], axis=0),
-            jnp.concatenate([c1, c2], axis=0),
-            jnp.concatenate([n1, n2], axis=0),
-            W,
+        runs.append(
+            (np.asarray(ow[:nu]), np.asarray(octx[:nu]), np.asarray(ocnt[:nu]))
         )
-        nu = int(nu)
-        ow, octx, ocnt = _pad_rows(ow, octx, ocnt, nu, _quantize(nu, pad_quantum))
-        items = [(ow, octx, ocnt, nu)] + items[2:]
 
-    words_d, ctx_d, cnt_d, nu = items[0]
-    words = np.asarray(words_d[:nu])
-    ctx = np.asarray(ctx_d[:nu])
-    cnt = np.asarray(cnt_d[:nu])
+    if not runs:
+        empty = np.zeros((0, W), dtype=np.uint32)
+        return KmerDict(empty, np.zeros(0, np.int32), np.zeros(0, np.uint32), k)
+    words, ctx, cnt = _host_merge_all(runs)
     keep = cnt >= min_freq
     return KmerDict(
         words[keep], cnt[keep].astype(np.int32), ctx[keep].astype(np.uint32), k
