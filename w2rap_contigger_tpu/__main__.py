@@ -28,6 +28,7 @@ def main(argv=None):
     ap.add_argument("--min_freq", type=int, default=4)
     ap.add_argument("--min_qual", type=int, default=7)
     ap.add_argument("-s", "--min_size", type=int, default=0)
+    ap.add_argument("--path_finder", action="store_true")
     ap.add_argument("--dump_all", action="store_true")
     ap.add_argument("--dump_perf", action="store_true")
     args = ap.parse_args(argv)
@@ -53,6 +54,7 @@ def main(argv=None):
         min_size=args.min_size,
         dump_all=args.dump_all,
         dump_perf=args.dump_perf,
+        path_finder=args.path_finder,
     )
 
 

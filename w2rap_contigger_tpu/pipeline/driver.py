@@ -63,6 +63,7 @@ def run_pipeline(
     dump_all: bool = False,
     dump_perf: bool = False,
     chunk_reads: int = 65536,
+    path_finder: bool = False,
 ):
     os.makedirs(out_dir, exist_ok=True)
     perf = PerfLog(f"{out_dir}/{prefix}.perf" if dump_perf else None)
@@ -135,7 +136,9 @@ def run_pipeline(
 
     # ---- step 6: simplify + lines + contig outputs -------------------
     if from_step <= 6 <= to_step:
-        hbv, paths = step6_simplify.simplify(hbv, paths, reads)
+        hbv, paths = step6_simplify.simplify(
+            hbv, paths, reads, run_pathfinder=path_finder
+        )
         lines, stats = step6_simplify.contig_outputs(
             hbv, paths, out_dir, prefix="a"
         )

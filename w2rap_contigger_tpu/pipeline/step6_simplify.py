@@ -81,7 +81,7 @@ def remove_unsupported_edges(hbv, paths, max_supp_del: int = 0):
     return hbv, paths
 
 
-def simplify(hbv, paths, reads=None, max_supp_del: int = 0, max_del2: int = 200):
+def simplify(hbv, paths, reads=None, max_supp_del: int = 0, max_del2: int = 200, run_pathfinder: bool = False):
     """The Simplify pass sequence (round-1 subset, order preserved)."""
 
     def cleanup(h, p):
@@ -103,7 +103,19 @@ def simplify(hbv, paths, reads=None, max_supp_del: int = 0, max_del2: int = 200)
     hbv, paths = cleanup(hbv, paths)
     hbv, paths = bubbles.pop_bubbles(hbv, paths, reads)
     hbv, paths = cleanup(hbv, paths)
-    # [Tamp, PullAparter, PathFinder, ImprovePaths, Degloop,
+    if run_pathfinder:
+        from ..paths.pathfinder import PathFinder
+
+        pf = PathFinder(hbv, paths)
+        pf.unroll_loops(800)
+        hbv, paths = cleanup(pf.hbv, pf.paths)
+        pf = PathFinder(hbv, paths)
+        pf.untangle_complex_in_out_choices(700)
+        hbv, paths = cleanup(pf.hbv, pf.paths)
+        from ..graph.branches import _truncate_nonwalks
+
+        paths = _truncate_nonwalks(hbv, paths)
+    # [Tamp, PullAparter, ImprovePaths, Degloop,
     #  UnwindThreeEdgePlasmids — next rounds]
     hbv, paths = ops.remove_hangs(hbv, paths, 700)
     hbv, paths = cleanup(hbv, paths)
