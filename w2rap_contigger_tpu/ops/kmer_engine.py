@@ -490,7 +490,7 @@ def count_kmers_flat(
     seg_offsets,
     k: int,
     min_freq: int = 1,
-    chunk_pos: int = 1 << 21,
+    chunk_pos: int | None = None,
     pad_quantum: int = PAD_QUANTUM,
 ):
     """Count canonical kmers over concatenated sequences.
@@ -499,7 +499,13 @@ def count_kmers_flat(
     seg_offsets: (S+1,) int64 boundaries.  Equivalent semantics to the
     reference's BigDict fill over a read set (kmers/BigKPather.cc:461-537)
     but with exact multiword kmers instead of hashed BigKMers.
+
+    chunk_pos defaults shrink with k: the TPU backend's compile time
+    scales with tensor volume, and W=13-lane kernels at K=200 only
+    compile in reasonable time at ~0.5M-position chunks.
     """
+    if chunk_pos is None:
+        chunk_pos = (1 << 21) if k <= 64 else (1 << 19)
     T = len(flat_bases)
     W = bk.nwords(k)
     if T < k:

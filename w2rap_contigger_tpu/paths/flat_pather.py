@@ -43,7 +43,7 @@ def _lookup_flat_chunk(
 
 def path_flat_sequences(
     flat_bases, seg_offsets, d, hbv, fwd_xlat, rev_xlat,
-    chunk_pos: int = 1 << 21,
+    chunk_pos: int | None = None,
 ):
     """Walk each segment through the graph.
 
@@ -54,6 +54,8 @@ def path_flat_sequences(
     Segments shorter than k or containing missing kmers get empty paths.
     """
     k = d.k
+    if chunk_pos is None:
+        chunk_pos = (1 << 21) if k <= 64 else (1 << 19)
     T = len(flat_bases)
     S = len(seg_offsets) - 1
     wp, cp, kdef, mp = ke.padded_dict_views(d)
