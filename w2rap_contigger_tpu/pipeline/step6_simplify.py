@@ -88,7 +88,11 @@ def simplify(hbv, paths, reads=None, max_supp_del: int = 0, max_del2: int = 200,
         h, p = ops.squeeze(h, p)
         return h, p
 
-    from ..graph import branches, bubbles
+    from ..graph import branches, bubbles, reroute
+
+    if reads is not None:
+        paths, _ = reroute.reroute_paths(hbv, paths, reads)
+        paths, _ = reroute.delete_funky_path_pairs(hbv, paths, reads)
 
     hbv, paths = remove_unsupported_edges(hbv, paths, max_supp_del)
     hbv, paths = ops.remove_small_components(hbv, paths)
@@ -103,6 +107,8 @@ def simplify(hbv, paths, reads=None, max_supp_del: int = 0, max_del2: int = 200,
     hbv, paths = cleanup(hbv, paths)
     hbv, paths = bubbles.pop_bubbles(hbv, paths, reads)
     hbv, paths = cleanup(hbv, paths)
+    if reads is not None:
+        paths, _ = reroute.delete_funky_path_pairs(hbv, paths, reads)
     if run_pathfinder:
         from ..paths.pathfinder import PathFinder
 
