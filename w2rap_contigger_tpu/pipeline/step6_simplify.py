@@ -121,10 +121,12 @@ def simplify(hbv, paths, reads=None, max_supp_del: int = 0, max_del2: int = 200,
         from ..graph.branches import _truncate_nonwalks
 
         paths = _truncate_nonwalks(hbv, paths)
-    # [Tamp, PullAparter, ImprovePaths, Degloop,
-    #  UnwindThreeEdgePlasmids — next rounds]
+    # [Tamp, PullAparter, ImprovePaths, Degloop — next rounds]
     hbv, paths = ops.remove_hangs(hbv, paths, 700)
     hbv, paths = cleanup(hbv, paths)
+    from ..graph import plasmids
+
+    hbv, paths = plasmids.unwind_three_edge_plasmids(hbv, paths)
     hbv, paths = ops.remove_small_components(hbv, paths, remove_small_cycles=True)
     hbv, paths = cleanup(hbv, paths)
 
