@@ -23,6 +23,7 @@ contribute no kmers.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -428,13 +429,20 @@ def count_kmers(
         )
         ow, octx, ocnt, nu = sort_collapse_leaf(cw, cctx, W)
         nu = int(nu)
+        # full-array transfer + host trim: device slices of varying nu
+        # would each compile a fresh program on this backend
         runs.append(
             (
-                np.asarray(ow[:nu]),
-                np.asarray(octx[:nu]),
-                np.asarray(ocnt[:nu]),
+                np.asarray(ow)[:nu],
+                np.asarray(octx)[:nu],
+                np.asarray(ocnt)[:nu],
             )
         )
+        if os.environ.get("W2RAP_VERBOSE"):
+            print(
+                f"count_kmers chunk {ci+1}/{n_chunks}: {nu} unique",
+                flush=True,
+            )
 
     if not runs:
         empty = np.zeros((0, W), dtype=np.uint32)
@@ -545,8 +553,10 @@ def count_kmers_flat(
         ow, octx, ocnt, nu = sort_collapse_leaf(cw, cctx, W)
         nu = int(nu)
         runs.append(
-            (np.asarray(ow[:nu]), np.asarray(octx[:nu]), np.asarray(ocnt[:nu]))
+            (np.asarray(ow)[:nu], np.asarray(octx)[:nu], np.asarray(ocnt)[:nu])
         )
+        if os.environ.get("W2RAP_VERBOSE"):
+            print(f"count_kmers_flat chunk @{st}: {nu} unique", flush=True)
 
     if not runs:
         empty = np.zeros((0, W), dtype=np.uint32)
