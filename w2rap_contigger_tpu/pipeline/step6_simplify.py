@@ -121,7 +121,10 @@ def simplify(hbv, paths, reads=None, max_supp_del: int = 0, max_del2: int = 200,
         from ..graph.branches import _truncate_nonwalks
 
         paths = _truncate_nonwalks(hbv, paths)
-    # [Tamp, PullAparter, ImprovePaths, Degloop — next rounds]
+    # [Tamp, PullAparter, ImprovePaths — next rounds]
+    from ..graph import degloop as degloop_mod
+
+    hbv, paths = degloop_mod.degloop(hbv, paths, reads, mode=1, min_dist=2.5)
     hbv, paths = ops.remove_hangs(hbv, paths, 700)
     hbv, paths = cleanup(hbv, paths)
     from ..graph import plasmids
