@@ -413,8 +413,11 @@ def count_kmers(
     W = bk.nwords(k)
     L = bases.shape[1]
 
-    runs = []
+    # Phase 1: dispatch every chunk's device work without syncing — JAX
+    # queues them so device compute overlaps the host-side downloads and
+    # merges of phase 2.
     n_chunks = max(1, -(-n // chunk_reads))
+    pending = []
     for ci in range(n_chunks):
         start = ci * chunk_reads
         stop = min(start + chunk_reads, n)
@@ -427,15 +430,20 @@ def count_kmers(
         cw, cctx, cvalid = kmerize_chunk(
             jnp.asarray(cb), jnp.asarray(cl), jnp.asarray(cq), k, min_qual
         )
-        ow, octx, ocnt, nu = sort_collapse_leaf(cw, cctx, W)
-        nu = int(nu)
-        # full-array transfer + host trim: device slices of varying nu
-        # would each compile a fresh program on this backend
+        pending.append(sort_collapse_leaf(cw, cctx, W))
+
+    # Phase 2: download quantized slices (few distinct shapes -> cached
+    # transfer programs) and merge on host.
+    runs = []
+    SLICE_Q = 1 << 18
+    for ci, (ow, octx, ocnt, nu_d) in enumerate(pending):
+        nu = int(nu_d)
+        nq = min(ow.shape[0], ((nu + SLICE_Q - 1) // SLICE_Q) * SLICE_Q)
         runs.append(
             (
-                np.asarray(ow)[:nu],
-                np.asarray(octx)[:nu],
-                np.asarray(ocnt)[:nu],
+                np.asarray(ow[:nq])[:nu],
+                np.asarray(octx[:nq])[:nu],
+                np.asarray(ocnt[:nq])[:nu],
             )
         )
         if os.environ.get("W2RAP_VERBOSE"):
