@@ -71,12 +71,16 @@ def test_full_pipeline(tmp_path, genome_and_reads):
     longest = max(len(c) for c in contigs)
     assert total >= 0.9 * len(genome), f"total contig bases {total}"
     assert longest >= 0.5 * len(genome), f"longest contig {longest}"
-    # every long contig must be a substring of genome (or its rc)
+    # every long contig piece (split at step-7 scaffold N-gaps) must be a
+    # substring of the genome (or its rc)
     gstr = dna.codes_to_seq(genome)
     grc = dna.codes_to_seq(dna.revcomp_codes(genome))
     for c in contigs:
-        if len(c) >= 2000:
-            assert c in gstr or c in grc, "contig not a genome substring"
+        for piece in c.split("N"):
+            if len(piece) >= 2000:
+                assert piece in gstr or piece in grc, (
+                    "contig piece not a genome substring"
+                )
 
 
 def test_checkpoint_resume(tmp_path, genome_and_reads):

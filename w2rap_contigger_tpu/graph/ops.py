@@ -152,7 +152,15 @@ def squeeze(hbv: HyperBasevector, paths: ReadPathVec):
     kv = np.flatnonzero(kill)
     ein = vin[kv]
     eout = vout[kv]
-    bad = (ein == eout) | (hbv.to_left[ein] == hbv.to_right[eout])
+    # reference also requires both edges non-empty (gap edges from
+    # MakeGaps are 0-length and must not be merged away,
+    # GapToyTools3.cc:117-121)
+    bad = (
+        (ein == eout)
+        | (hbv.to_left[ein] == hbv.to_right[eout])
+        | (lens[ein] == 0)
+        | (lens[eout] == 0)
+    )
     kill[kv[bad]] = False
 
     if not kill.any():

@@ -149,12 +149,24 @@ def run_pipeline(
         hbv = HyperBasevector.load(f"{p}.contig.hbv.npz")
         paths = ReadPathVec.load(f"{p}.contig.paths.npz")
 
-    # ---- step 7: PE scaffolding (round-1: final files only) ----------
+    # ---- step 7: PE scaffolding + final files ------------------------
     if from_step <= 7 <= to_step:
-        # MakeGaps (w2rap-contigger.cc:570-603) — staged for a later
-        # round; FinalFiles outputs are produced from the contig graph.
-        from ..graph import gfa
+        from ..graph import gfa, lines as lines_mod
+        from . import step7_scaffold
 
+        lines7 = lines_mod.find_lines(hbv)
+        hbv, paths, n_gaps = step7_scaffold.make_gaps(
+            hbv, paths, lines7, min_line=5000, min_link_count=3
+        )
+        # FinalFiles (FinalFiles.cc:22): re-find lines and re-emit outputs
+        # from the scaffolded graph
+        if n_gaps:
+            hbv.save(f"{p}_assembly.hbv.npz")
+            paths.save(f"{p}_assembly.paths.npz")
+            lines_f = lines_mod.find_lines(hbv)
+            lines_f = lines_mod.sort_lines(hbv, lines_f)
+            lines_mod.dump_line_files(hbv, lines_f, out_dir, "a", paths=paths)
+            lines_mod.write_stats(hbv, lines_f, out_dir)
         gfa.gfa_dump(hbv, f"{out_dir}/{prefix}_assembly")
         perf.checkpoint("MakeGaps+FinalFiles")
 
