@@ -215,3 +215,40 @@ def condense_lr(clusters, inv):
         if (rl, rr) <= (lefts, rights) or (rl, rr) not in lr_set:
             out.append((list(lefts), list(rights)))
     return out
+
+
+def layout_reads(hbv, paths, read_lengths):
+    """LayoutReads (GapToyTools2.cc:550): per edge, the (pos, read id,
+    orientation) layout of reads whose path starts or ends there (both
+    orientations), sorted by position.  Feeds FindPidsST's local read
+    selection in AssembleGaps2.
+    """
+    E = hbv.n_edges
+    inv = hbv.inv
+    kmers = hbv.edge_kmers()
+    elen = hbv.edge_len()
+    layout = [[] for _ in range(E)]  # (pos, read_id, fwd?)
+    for i in range(paths.n_reads):
+        x = [int(e) for e in paths.path(i)]
+        if not x:
+            continue
+        pos = int(paths.start[i])
+        for j, e in enumerate(x):
+            if 0 < j < len(x) - 1:
+                pos -= int(kmers[e])
+                continue
+            layout[e].append((pos, i, True))
+            pos -= int(kmers[e])
+        xr = [int(inv[e]) for e in x[::-1]]
+        pos = int(paths.start[i]) + int(read_lengths[i])
+        ln = int(elen[xr[0]]) + int(np.sum(kmers[xr[1:]]))
+        pos = ln - pos
+        for j, e in enumerate(xr):
+            if 0 < j < len(xr) - 1:
+                pos -= int(kmers[e])
+                continue
+            layout[e].append((pos, i, False))
+            pos -= int(kmers[e])
+    for e in range(E):
+        layout[e].sort()
+    return layout
