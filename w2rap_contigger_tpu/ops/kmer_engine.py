@@ -413,11 +413,12 @@ def count_kmers(
     W = bk.nwords(k)
     L = bases.shape[1]
 
-    # Phase 1: dispatch every chunk's device work without syncing — JAX
-    # queues them so device compute overlaps the host-side downloads and
-    # merges of phase 2.
+    # Sequential per-chunk dispatch: queueing many big chunks degrades
+    # badly on latency-bound backends; downloads use quantized slices so
+    # transfer programs hit the compile cache.
     n_chunks = max(1, -(-n // chunk_reads))
-    pending = []
+    runs = []
+    SLICE_Q = 1 << 18
     for ci in range(n_chunks):
         start = ci * chunk_reads
         stop = min(start + chunk_reads, n)
@@ -430,13 +431,7 @@ def count_kmers(
         cw, cctx, cvalid = kmerize_chunk(
             jnp.asarray(cb), jnp.asarray(cl), jnp.asarray(cq), k, min_qual
         )
-        pending.append(sort_collapse_leaf(cw, cctx, W))
-
-    # Phase 2: download quantized slices (few distinct shapes -> cached
-    # transfer programs) and merge on host.
-    runs = []
-    SLICE_Q = 1 << 18
-    for ci, (ow, octx, ocnt, nu_d) in enumerate(pending):
+        ow, octx, ocnt, nu_d = sort_collapse_leaf(cw, cctx, W)
         nu = int(nu_d)
         nq = min(ow.shape[0], ((nu + SLICE_Q - 1) // SLICE_Q) * SLICE_Q)
         runs.append(
