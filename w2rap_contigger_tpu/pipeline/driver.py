@@ -121,11 +121,17 @@ def run_pipeline(
         hbv = HyperBasevector.load(f"{p}.large_K.clean.hbv.npz")
         paths = ReadPathVec.load(f"{p}.large_K.clean.paths.npz")
 
-    # ---- step 5: local assemblies in gaps (round-1: pass-through) ----
+    # ---- step 5: local assemblies in gaps ----------------------------
     if from_step <= 5 <= to_step:
-        # AssembleGaps2 + AddNewStuff + PartnersToEnds
-        # (w2rap-contigger.cc:424-459) — staged for a later round; the
-        # checkpoint contract is preserved so step 6 runs unchanged.
+        # AssembleGaps2 + AddNewStuff (w2rap-contigger.cc:424-459);
+        # PartnersToEnds staged.
+        from . import step5_gaps
+
+        new_stuff = step5_gaps.assemble_gaps2(hbv, paths, reads)
+        if new_stuff:
+            hbv, paths = step5_gaps.add_new_stuff(
+                hbv, paths, reads, new_stuff, chunk_reads=chunk_reads
+            )
         if dump_all or to_step == 5:
             hbv.save(f"{p}.large_K.final.hbv.npz")
             paths.save(f"{p}.large_K.final.paths.npz")

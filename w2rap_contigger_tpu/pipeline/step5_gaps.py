@@ -252,3 +252,337 @@ def layout_reads(hbv, paths, read_lengths):
     for e in range(E):
         layout[e].sort()
     return layout
+
+
+# ---------------------------------------------------------------------------
+# AssembleGaps2 (AssembleGaps.cc:237-481) — per-blob local reassembly
+# ---------------------------------------------------------------------------
+
+MAX_PROX_LEFT = 400
+MAX_PROX_RIGHT = 400
+PAIR_SAMPLE = 200
+# k2 floor sequence (AssembleGaps.cc driver: {0,100,128,144,172,200});
+# multiples of 16 shift to the nearest supported size (sentinel layout)
+K2_SEQUENCE = (84, 100, 132, 144, 172, 200)
+
+
+def find_pids_st(lefts, rights, layout, max_prox_left=MAX_PROX_LEFT,
+                 max_prox_right=MAX_PROX_RIGHT, pair_sample=PAIR_SAMPLE):
+    """FindPidsST (AssembleGaps.cc:65-206): bridging pairs + proximal
+    pairs, subsampled to pair_sample."""
+    marks = []
+    lstarts = defaultdict(list)
+    rstarts = defaultdict(list)
+    for li, e in enumerate(lefts):
+        for pos, rid, fw in layout[e]:
+            if fw:
+                marks.append((rid // 2, False, pos, li))
+    for ri, e in enumerate(rights):
+        for pos, rid, fw in layout[e]:
+            if not fw:
+                marks.append((rid // 2, True, pos, ri))
+    marks.sort()
+    pids1 = set()
+    i = 0
+    while i < len(marks):
+        j = i
+        while j < len(marks) and marks[j][0] == marks[i][0]:
+            j += 1
+        group = marks[i:j]
+        has_l = any(not m[1] for m in group)
+        has_r = any(m[1] for m in group)
+        if has_l and has_r:
+            pids1.add(marks[i][0])
+            for pid, is_r, pos, idx in group:
+                (rstarts if is_r else lstarts)[idx].append(pos)
+        i = j
+    for d_ in (lstarts, rstarts):
+        for k_ in d_:
+            d_[k_].sort()
+
+    pids2 = set()
+    for side, edges, starts in (
+        ("l", lefts, lstarts),
+        ("r", rights, rstarts),
+    ):
+        for idx, e in enumerate(edges):
+            if idx not in starts or not starts[idx]:
+                continue
+            low, high = starts[idx][0], starts[idx][-1]
+            for pos, rid, fw in layout[e]:
+                if rid // 2 in pids1:
+                    continue
+                close = low <= pos <= high
+                if not close:
+                    a, b = (
+                        (max_prox_left, max_prox_right)
+                        if fw
+                        else (max_prox_right, max_prox_left)
+                    )
+                    if low > pos and low - pos <= a:
+                        close = True
+                    elif high < pos and pos - high <= b:
+                        close = True
+                if close:
+                    pids2.add(rid // 2)
+
+    pids1 = sorted(pids1)
+    pids2 = sorted(pids2)
+    keep = pair_sample // 2
+    out = []
+    if len(pids1) + len(pids2) <= pair_sample or len(pids1) <= keep:
+        out.extend(pids1)
+    else:
+        out.extend(pids1[(l * len(pids1)) // keep] for l in range(keep))
+    if len(out) + len(pids2) <= pair_sample or len(pids2) <= keep:
+        out.extend(pids2)
+    else:
+        out.extend(pids2[(l * len(pids2)) // keep] for l in range(keep))
+    return sorted(set(out))
+
+
+def _local_graph(seqs, k2, min_freq=2):
+    """Local HBV from corrected sequences at k2."""
+    from ..graph import build as gb
+    from ..ops import kmer_engine as ke
+
+    if not seqs:
+        return None
+    seg = np.zeros(len(seqs) + 1, dtype=np.int64)
+    seg[1:] = np.cumsum([len(s) for s in seqs])
+    flat = np.concatenate(seqs)
+    d = ke.count_kmers_flat(flat, seg, k2, min_freq=min_freq)
+    if d.size == 0:
+        return None
+    gb.recompute_adjacencies(d)
+    eb, es = gb.build_unitigs(d)
+    hbv, fx, rx = gb.build_hbv_from_edges(eb, es, k2)
+    return d, hbv, fx, rx
+
+
+def _edges_with_shared_kmers(d, hbv_local, fx, rx, root_seqs, k2):
+    """Local edges sharing a k2-mer with any root sequence (MakeStartStop)."""
+    import jax.numpy as jnp
+
+    from ..ops import bitkmer as bk
+    from ..ops import kmer_engine as ke
+    from ..ops import lookup
+
+    hits = set()
+    wp, cp, kdef, mp = ke.padded_dict_views(d)
+    n_iters = max(1, int(np.ceil(np.log2(mp + 1))))
+    for seq in root_seqs:
+        if len(seq) < k2:
+            continue
+        packed = ke.pack_rows(jnp.asarray(seq[None, :]))
+        words = ke.kmer_windows(packed, k2, len(seq) - k2 + 1)[0]
+        canon, _ = bk.canonicalize(words, k2)
+        idx, found = lookup._search(jnp.asarray(wp).T, canon.T, n_iters)
+        idx = np.asarray(idx)
+        found = np.asarray(found)
+        for i in idx[found]:
+            e0 = int(kdef[0][i])
+            hits.add(int(fx[e0]))
+            hits.add(int(rx[e0]))
+    return hits
+
+
+def assemble_gaps2(hbv, paths, reads, pair_sample=PAIR_SAMPLE,
+                   max_bpaths=2000, verbose=False):
+    """Per-blob local reassembly; returns new_stuff (list of uint8 seqs).
+
+    This is the round-1 working subset of AssembleGaps2: the correction
+    suite is pre_correct + frequency trimming (Correct1Pre/CorrectPairs1
+    refinements land in round 2); local assembly, start/stop trimming,
+    acyclicity gate, bpath enumeration and Patch's junction cats follow
+    the reference flow.
+    """
+    from ..core.reads import ReadSet
+    from ..graph import ops as gops
+    from ..graph.lines import edge_paths
+    from ..ops import precorrect
+    from ..paths import fillpairs
+
+    k = hbv.k
+    clusters, _ = unsat(hbv, paths)
+    if not clusters:
+        return []
+    LR = condense_lr(clusters, hbv.inv)
+    layout = layout_reads(hbv, paths, reads.lengths)
+    fo, fe, to, te = hbv.vertex_csr()
+
+    new_stuff = []
+    solved = 0
+    for lefts, rights in LR:
+        pids = find_pids_st(lefts, rights, layout, pair_sample=pair_sample)
+        if not pids:
+            continue
+        rids = np.array(
+            sorted({r for p in pids for r in (2 * p, 2 * p + 1)}),
+            dtype=np.int64,
+        )
+        sub = ReadSet(
+            reads.bases[rids].copy(),
+            reads.lengths[rids].copy(),
+            reads.quals[rids].copy(),
+        )
+        # correction suite v1: pre-correct, then frequency-trim
+        sub.bases, _nf = precorrect.pre_correct(sub)
+        trim = fillpairs.trim_reads(sub, min_freq=2)
+        seqs = [
+            sub.bases[i, : trim[i]].copy()
+            for i in range(sub.n_reads)
+            if trim[i] > 0
+        ]
+
+        root_left = [hbv.edge_seq(e) for e in lefts]
+        root_right = [hbv.edge_seq(e) for e in rights]
+
+        final = None
+        for k2 in K2_SEQUENCE:
+            built = _local_graph(seqs, k2, min_freq=2)
+            if built is None:
+                continue
+            d2, lhb, fx, rx = built
+            starts = _edges_with_shared_kmers(d2, lhb, fx, rx, root_left, k2)
+            stops = _edges_with_shared_kmers(d2, lhb, fx, rx, root_right, k2)
+            if not starts or not stops:
+                continue
+            # edges between starts and stops (EdgesSomewhereBetween)
+            fwd = _reachable_edges(lhb, starts, forward=True)
+            bwd = _reachable_edges(lhb, stops, forward=False)
+            keep = (fwd & bwd) | starts | stops
+            dels = [e for e in range(lhb.n_edges) if e not in keep]
+            from ..paths.read_paths import ReadPathVec
+
+            empty = ReadPathVec(
+                np.zeros(1, np.int64), np.zeros(0, np.int32),
+                np.zeros(0, np.int32),
+            )
+            lhb2, _ = gops.delete_edges(lhb, empty, np.array(dels, dtype=np.int64)) \
+                if dels else (lhb, None)
+            lhb2, _ = gops.squeeze(lhb2, empty)
+            if lhb2.n_edges == 0:
+                continue
+            if not gops.has_cycle(lhb2, np.arange(lhb2.n_vertices)):
+                final = lhb2
+                break
+        if final is None:
+            continue
+
+        # bpaths: all source-sink edge paths
+        indeg = final.in_degree()
+        outdeg = final.out_degree()
+        sources = np.flatnonzero(indeg == 0)
+        sinks = np.flatnonzero(outdeg == 0)
+        bpaths = []
+        overflow = False
+        for v in sources:
+            for w in sinks:
+                ok, ps = edge_paths(final, int(v), int(w), max_bpaths)
+                if not ok:
+                    overflow = True
+                    break
+                for p in ps:
+                    b = final.edge_seq(p[0]).copy()
+                    for e in p[1:]:
+                        b = np.concatenate(
+                            [b[: -(final.k - 1)], final.edge_seq(e)]
+                        )
+                    bpaths.append(b)
+                if len(bpaths) > max_bpaths:
+                    overflow = True
+                    break
+            if overflow:
+                break
+        if overflow or not bpaths:
+            continue
+        # left/right root extensions (AssembleGaps.cc:432-460)
+        for group, other_end in ((lefts, True), (rights, False)):
+            for l in group:
+                ext = False
+                for m in group:
+                    if other_end and hbv.to_right[m] == hbv.to_left[l]:
+                        b = np.concatenate(
+                            [hbv.edge_seq(m)[: -(k - 1)], hbv.edge_seq(l)]
+                        )
+                        bpaths.append(b.copy())
+                        ext = True
+                    if (not other_end) and hbv.to_left[m] == hbv.to_right[l]:
+                        b = np.concatenate(
+                            [hbv.edge_seq(l)[: -(k - 1)], hbv.edge_seq(m)]
+                        )
+                        bpaths.append(b.copy())
+                        ext = True
+                if not ext:
+                    bpaths.append(hbv.edge_seq(l).copy())
+
+        # BasesToGraph at K + Patch's new_stuff extraction
+        built = _local_graph(bpaths, k, min_freq=1)
+        if built is None:
+            continue
+        _, mhb, _, _ = built
+        solved += 1
+        for e in range(mhb.n_edges):
+            new_stuff.append(mhb.edge_seq(e).copy())
+        mfo, mfe, mto, mte = mhb.vertex_csr()
+        for v in range(mhb.n_vertices):
+            for e1 in mte[mto[v] : mto[v + 1]]:
+                for e2 in mfe[mfo[v] : mfo[v + 1]]:
+                    s1 = mhb.edge_seq(int(e1))
+                    s2 = mhb.edge_seq(int(e2))
+                    # TrimCat (K-1 overlap join)
+                    new_stuff.append(
+                        np.concatenate([s1[: -(k - 1)], s2]).copy()
+                    )
+    return new_stuff
+
+
+def _reachable_edges(hbv, seed_edges, forward=True):
+    """Edges reachable from the far ends of seed edges."""
+    fo, fe, to, te = hbv.vertex_csr()
+    seen_v = set()
+    stack = [
+        int(hbv.to_right[e]) if forward else int(hbv.to_left[e])
+        for e in seed_edges
+    ]
+    out = set()
+    while stack:
+        v = stack.pop()
+        if v in seen_v:
+            continue
+        seen_v.add(v)
+        es = fe[fo[v] : fo[v + 1]] if forward else te[to[v] : to[v + 1]]
+        for e in es:
+            e = int(e)
+            out.add(e)
+            stack.append(
+                int(hbv.to_right[e]) if forward else int(hbv.to_left[e])
+            )
+    return out
+
+
+def add_new_stuff(hbv, paths, reads, new_stuff, chunk_reads=16384):
+    """AddNewStuff (GapToyTools4.cc:199): rebuild the global K graph from
+    the old edges + new_stuff, then re-path + extend all reads."""
+    from ..graph import build as gb
+    from ..ops import kmer_engine as ke
+    from ..paths import extend as extend_mod
+    from ..paths import pather as pather_mod
+
+    if not new_stuff:
+        return hbv, paths
+    k = hbv.k
+    seqs = [hbv.edge_seq(e) for e in range(hbv.n_edges)] + list(new_stuff)
+    seqs = [s for s in seqs if len(s) >= k]
+    seg = np.zeros(len(seqs) + 1, dtype=np.int64)
+    seg[1:] = np.cumsum([len(s) for s in seqs])
+    flat = np.concatenate(seqs)
+    d = ke.count_kmers_flat(flat, seg, k, min_freq=1)
+    gb.recompute_adjacencies(d)
+    eb, es = gb.build_unitigs(d)
+    hbv2, fx, rx = gb.build_hbv_from_edges(eb, es, k)
+    paths2 = pather_mod.path_reads(reads, d, hbv2, fx, rx,
+                                   chunk_reads=chunk_reads)
+    paths2 = extend_mod.extend_paths(reads, paths2, hbv2)
+    return hbv2, paths2
