@@ -40,6 +40,24 @@ def main(argv=None):
             + ",".join(str(x) for x in ALLOWED_K if x % 16)
         )
 
+    import os
+
+    import jax
+
+    # the axon TPU plugin force-selects itself at interpreter start, so a
+    # plain JAX_PLATFORMS env var is ignored; honor an explicit override
+    # (same mechanism as tests/conftest.py) and reuse compiled kernels
+    # across runs via the persistent cache.
+    plat = os.environ.get("W2RAP_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    cache = os.environ.get(
+        "W2RAP_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from .pipeline.driver import run_pipeline
 
     run_pipeline(

@@ -39,6 +39,7 @@ class _Graph:
         self.out_deg = hbv.out_degree()
         self.in_deg = hbv.in_degree()
         fo, fe, to, te = hbv.vertex_csr()
+        self.fo, self.fe, self.to, self.te = fo, fe, to, te
         maxdeg = 4
         self.out_pad = np.full((V, maxdeg), -1, dtype=np.int32)
         self.in_pad = np.full((V, maxdeg), -1, dtype=np.int32)
@@ -266,3 +267,190 @@ def _score_overlap_rows(read_b, read_q, read_len, edge, g, gaps, left):
         )
     qsum += leftover * LEFTOVER_PENALTY
     return qsum
+
+
+# ---------------------------------------------------------------------------
+# ExtendPath2 — Simplify's EXT_FINAL pass
+# ---------------------------------------------------------------------------
+
+
+def _sorted_qsum(qsums):
+    """SortSync(qsum, ids) with the reference's small-vec insertion sort
+    (stable ascending)."""
+    import numpy as _np
+
+    q = _np.asarray(qsums)
+    order = _np.argsort(q, kind="stable")
+    return q[order], order
+
+
+def extend_path2(p, start, hbv, g, read_b, read_q, read_len, min_gain, mode):
+    """ExtendPath2 for one read (GapToyTools4.cc:370-460).
+
+    p: python list of edge ids (mutated); start: signed offset.
+    Returns (p, stored_offset) where stored_offset mirrors the
+    reference's setOffset(min(start, 0)) clamping during left extension.
+    """
+    import numpy as _np
+
+    K = hbv.k
+    stored = start
+    if not p:
+        return p, stored
+    if start < 0:
+        if mode == 0:
+            return p, stored
+        # leftward extension (GapToyTools4.cc:385-419)
+        v = int(hbv.to_left[p[0]])
+        while g.in_deg[v] > 0 and start < 0:
+            ins = g.te[g.to[v] : g.to[v + 1]]
+            if len(ins) == 1:
+                f = int(ins[0])
+                p.insert(0, f)
+                v = int(hbv.to_left[f])
+                start += int(g.ekmers[f])
+                stored = min(start, 0)
+                continue
+            qsums = []
+            for f in ins:
+                f = int(f)
+                nf = int(g.elen[f])
+                es = hbv.edge_seq(f)
+                qs = 0
+                for l in range(K, nf + 1):
+                    rpos = -start - (l - K + 1)
+                    if rpos < 0:
+                        break
+                    if read_b[rpos] != es[nf - l]:
+                        qs += int(read_q[rpos])
+                qsums.append(qs)
+            q, order = _sorted_qsum(qsums)
+            if q[0] == 0 and q[1] >= min_gain:
+                f = int(ins[order[0]])
+                p.insert(0, f)
+                v = int(hbv.to_left[f])
+                start += int(g.ekmers[f])
+                stored = min(start, 0)
+            else:
+                break
+        if start < 0:
+            return p, stored
+
+    rstop = int(g.elen[p[0]]) - start
+    for e in p[1:]:
+        rstop += int(g.ekmers[e])
+    ext = int(read_len) - rstop
+    if ext <= 0:
+        return p, stored
+    v = int(hbv.to_right[p[-1]])
+    if g.out_deg[v] == 0:
+        return p, stored
+    # rightward extension (GapToyTools4.cc:432-459); note the reference
+    # keeps comparing candidate edges against the ORIGINAL rstop
+    while g.out_deg[v] > 0:
+        outs = g.fe[g.fo[v] : g.fo[v + 1]]
+        if len(outs) == 1:
+            e = int(outs[0])
+            p.append(e)
+            v = int(hbv.to_right[e])
+            ext -= int(g.ekmers[e])
+            if ext < 0:
+                break
+            continue
+        qsums = []
+        for f in outs:
+            f = int(f)
+            es = hbv.edge_seq(f)
+            qs = 0
+            for l in range(K - 1, int(g.elen[f])):
+                rpos = rstop + l - (K - 1)
+                if rpos >= read_len:
+                    break
+                if read_b[rpos] != es[l]:
+                    qs += int(read_q[rpos])
+            qsums.append(qs)
+        q, order = _sorted_qsum(qsums)
+        if q[0] == 0 and q[1] >= min_gain:
+            e = int(outs[order[0]])
+            p.append(e)
+            v = int(hbv.to_right[e])
+            ext -= int(g.ekmers[e])
+            if ext < 0:
+                break
+        else:
+            break
+    return p, stored
+
+
+def ext_final(hbv, paths, reads, min_gain: int = 20, mode: int = 1):
+    """Simplify's EXT_FINAL loop (Simplify.cc:203-217): ExtendPath2 on
+    every read path.  Returns (paths2, n_extended)."""
+    import numpy as _np
+
+    from .read_paths import ReadPathVec
+
+    g = _Graph(hbv)
+    n = paths.n_reads
+    plen = paths.path_len()
+
+    # cheap prefilter: reads that can possibly extend (negative offset or
+    # unexplained right tail or at a multi-out vertex boundary)
+    changed = {}
+    starts = paths.start.astype(_np.int64).copy()
+    nz = _np.flatnonzero(plen > 0)
+    if len(nz) == 0:
+        return paths, 0
+    first_e = paths.edges[paths.offsets[:-1][nz]]
+    last_e = paths.edges[paths.offsets[1:][nz] - 1]
+    ksum = _np.zeros(n, dtype=_np.int64)
+    rid = _np.repeat(_np.arange(n), plen)
+    _np.add.at(ksum, rid, g.ekmers[paths.edges])
+    rstop = _np.zeros(n, dtype=_np.int64)
+    rstop[nz] = (
+        g.elen[first_e]
+        - starts[nz]
+        + (ksum[nz] - g.ekmers[first_e])
+    )
+    ext_amt = reads.lengths.astype(_np.int64) - rstop
+    cand = nz[
+        (starts[nz] < 0)
+        | ((ext_amt[nz] > 0) & (g.out_deg[hbv.to_right[last_e]] > 0))
+    ]
+    n_ext = 0
+    for r in cand:
+        r = int(r)
+        p_old = [int(e) for e in paths.path(r)]
+        p = list(p_old)
+        p2, stored = extend_path2(
+            p,
+            int(starts[r]),
+            hbv,
+            g,
+            reads.bases[r],
+            reads.quals[r],
+            int(reads.lengths[r]),
+            min_gain,
+            mode,
+        )
+        if p2 != p_old or stored != starts[r]:
+            changed[r] = p2
+            starts[r] = stored
+            if p2 != p_old:
+                n_ext += 1
+    if not changed:
+        return paths, 0
+    new_lens = plen.copy()
+    for r, p in changed.items():
+        new_lens[r] = len(p)
+    off = _np.zeros(n + 1, dtype=_np.int64)
+    off[1:] = _np.cumsum(new_lens)
+    flat = _np.zeros(int(off[-1]), dtype=_np.int32)
+    local = _np.arange(len(paths.edges)) - _np.repeat(paths.offsets[:-1], plen)
+    unchanged = _np.ones(n, dtype=bool)
+    for r in changed:
+        unchanged[r] = False
+    m = unchanged[rid]
+    flat[(off[rid] + local)[m]] = paths.edges[m]
+    for r, p in changed.items():
+        flat[off[r] : off[r] + len(p)] = p
+    return ReadPathVec(off, flat, starts.astype(_np.int32)), n_ext

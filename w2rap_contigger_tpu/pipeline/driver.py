@@ -76,8 +76,9 @@ def run_pipeline(
         if reads is None:
             assert read_spec, "step 1 needs read files"
             reads = extract_reads(read_spec)
-        if dump_all or to_step == 1:
-            reads.save(f"{out_dir}/frag_reads_orig.npz")
+        # the reference always writes frag_reads_orig.* in step 1
+        # (w2rap-contigger.cc:315-316) so any later --from_step works
+        reads.save(f"{out_dir}/frag_reads_orig.npz")
         perf.checkpoint("ReadLoad")
     elif from_step >= 2 and reads is None:
         reads = ReadSet.load(f"{out_dir}/frag_reads_orig.npz")
@@ -123,15 +124,17 @@ def run_pipeline(
 
     # ---- step 5: local assemblies in gaps ----------------------------
     if from_step <= 5 <= to_step:
-        # AssembleGaps2 + AddNewStuff (w2rap-contigger.cc:424-459);
-        # PartnersToEnds staged.
+        # AssembleGaps2 + AddNewStuff + PartnersToEnds
+        # (w2rap-contigger.cc:424-459)
         from . import step5_gaps
+        from ..paths.partners import partners_to_ends
 
         new_stuff = step5_gaps.assemble_gaps2(hbv, paths, reads)
         if new_stuff:
             hbv, paths = step5_gaps.add_new_stuff(
                 hbv, paths, reads, new_stuff, chunk_reads=chunk_reads
             )
+        paths, _ = partners_to_ends(hbv, paths, reads)
         if dump_all or to_step == 5:
             hbv.save(f"{p}.large_K.final.hbv.npz")
             paths.save(f"{p}.large_K.final.paths.npz")

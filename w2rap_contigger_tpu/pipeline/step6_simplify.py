@@ -5,11 +5,11 @@ driver's parameters (w2rap-contigger.cc:477-494: MAX_SUPP_DEL=0,
 MIN_RATIO2=8, MAX_DEL2=200, DEGLOOP_MIN_DIST=2.5 ...), then FindLines +
 GFADump (w2rap-contigger.cc:496-558).
 
-Round-1 scope: the unsupported-edge deletion, small-component removal,
-and hanging-end passes run exactly; AnalyzeBranches / PopBubbles /
-Tamp / PullAparter / PathFinder / ImprovePaths / Degloop / Unwind are
-staged for the next rounds (each is an independent pass over the same
-graph-edit toolkit).
+All reference passes are implemented: unsupported-edge deletion,
+RemoveSmallComponents3, Tamp (early + shift-10), RemoveHangs,
+AnalyzeBranches, PopBubbles, DeleteFunkyPathPairs, PullAparter,
+PathFinder (opt-in), ImprovePaths, ExtendPath2, Degloop,
+UnwindThreeEdgePlasmids, and the final tiny-stuff cleanup.
 """
 
 from __future__ import annotations
@@ -81,14 +81,20 @@ def remove_unsupported_edges(hbv, paths, max_supp_del: int = 0):
     return hbv, paths
 
 
-def simplify(hbv, paths, reads=None, max_supp_del: int = 0, max_del2: int = 200, run_pathfinder: bool = False):
-    """The Simplify pass sequence (round-1 subset, order preserved)."""
+def simplify(hbv, paths, reads=None, max_supp_del: int = 0, max_del2: int = 200,
+             run_pathfinder: bool = False, tamp_early: bool = True,
+             improve: bool = True, ext_final_pass: bool = True):
+    """The full Simplify pass sequence (Simplify.cc:22-244), with the
+    driver's defaults (w2rap-contigger.cc:477-494): TAMP_EARLY,
+    IMPROVE_PATHS, EXT_FINAL(mode 1, min_gain 20), DEGLOOP(1, 2.5),
+    UNWIND3, FINAL_TINY all on."""
 
     def cleanup(h, p):
         h, p = ops.squeeze(h, p)
         return h, p
 
     from ..graph import branches, bubbles, reroute
+    from ..graph.tamp import tamp as tamp_pass
 
     if reads is not None:
         paths, _ = reroute.reroute_paths(hbv, paths, reads)
@@ -97,6 +103,8 @@ def simplify(hbv, paths, reads=None, max_supp_del: int = 0, max_del2: int = 200,
     hbv, paths = remove_unsupported_edges(hbv, paths, max_supp_del)
     hbv, paths = ops.remove_small_components(hbv, paths)
     hbv, paths = cleanup(hbv, paths)
+    if tamp_early:
+        hbv, paths = tamp_pass(hbv, paths, 0)
     hbv, paths = ops.remove_hangs(hbv, paths, 100)
     hbv, paths = cleanup(hbv, paths)
     hbv, paths = branches.analyze_branches(hbv, paths, min_ratio2=8)
@@ -109,6 +117,19 @@ def simplify(hbv, paths, reads=None, max_supp_del: int = 0, max_del2: int = 200,
     hbv, paths = cleanup(hbv, paths)
     if reads is not None:
         paths, _ = reroute.delete_funky_path_pairs(hbv, paths, reads)
+    hbv, paths = tamp_pass(hbv, paths, 10)
+    hbv, paths = ops.remove_hangs(hbv, paths, 700)
+    hbv, paths = cleanup(hbv, paths)
+    hbv, paths = ops.remove_small_components(hbv, paths)
+    hbv, paths = cleanup(hbv, paths)
+
+    # Pull apart canonical repeats (Simplify.cc:141-151)
+    from ..paths.pullaparter import PullAparter
+
+    pa = PullAparter(hbv, paths)
+    pa.separate_all()
+    hbv, paths = pa.hbv, pa.paths
+
     if run_pathfinder:
         from ..paths.pathfinder import PathFinder
 
@@ -121,7 +142,16 @@ def simplify(hbv, paths, reads=None, max_supp_del: int = 0, max_del2: int = 200,
         from ..graph.branches import _truncate_nonwalks
 
         paths = _truncate_nonwalks(hbv, paths)
-    # [Tamp, PullAparter, ImprovePaths — next rounds]
+
+    if improve and reads is not None:
+        from ..paths.improve import improve_paths
+
+        paths, _ = improve_paths(hbv, paths, reads)
+    if ext_final_pass and reads is not None:
+        from ..paths.extend import ext_final
+
+        paths, _ = ext_final(hbv, paths, reads, min_gain=20, mode=1)
+
     from ..graph import degloop as degloop_mod
 
     hbv, paths = degloop_mod.degloop(hbv, paths, reads, mode=1, min_dist=2.5)
