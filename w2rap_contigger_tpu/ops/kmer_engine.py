@@ -185,54 +185,46 @@ def _seg_or_scan(ctx, is_start):
 def _collapse_sorted(sw, sctx, scnt, w):
     """Collapse equal adjacent keys of already-sorted rows.
 
-    Built from compile-cheap primitives only (this runs at sizes where
-    the TPU backend's compile time grows with op-graph complexity):
-    * segment ids from one cumsum,
-    * per-segment count sums from ONE global cumsum (difference of the
-      cumsum at the row vs at the segment start, found via cummax),
-    * context OR via per-bit scatter-max,
-    * compaction via scatter-max (all rows of a segment write the same
-      words; the segment-end scan value is the per-segment total).
+    Scatter-free formulation (XLA scatter serializes on TPU and
+    searchsorted lowers to a slow per-query loop; both were hot spots):
+    the start indices of the segments are compacted to the front with
+    ONE single-key int32 sort (start rows keep their index, non-start
+    rows get index+M, so ascending order lists the segment starts in
+    order), per-segment counts come from one global cumsum difference,
+    and the context OR from a single segmented OR scan.
     """
     M = sw.shape[0]
     prev = jnp.roll(sw, 1, axis=0)
     is_start = ~bk.words_eq(sw, prev)
     is_start = is_start.at[0].set(True)
-    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # sorted, 0-based
-
-    jidx = jnp.arange(M, dtype=jnp.int32)
-    # index of the first row of this row's segment
-    seg_start_idx = jax.lax.cummax(jnp.where(is_start, jidx, 0), axis=0)
-    # segmented sum scans from global cumsums (difference vs segment start)
-    cs = jnp.cumsum(scnt.astype(jnp.int32))
-    cnt_scan = cs - cs[seg_start_idx] + scnt[seg_start_idx]
-    bits = ((sctx[:, None] >> np.arange(8).astype(np.uint32)[None, :]) & 1).astype(
-        jnp.int32
-    )
-    csb = jnp.cumsum(bits, axis=0)
-    bit_tot = csb - csb[seg_start_idx] + bits[seg_start_idx]
 
     # valid rows (non-sentinel) sort before the all-FULL sentinel rows
     sentinel = bk.words_eq(sw, jnp.full((1, w), FULL, dtype=jnp.uint32))
     total_valid = jnp.sum((~sentinel).astype(jnp.int32))
-    n_unique = jnp.where(
-        total_valid > 0, seg[jnp.maximum(total_valid - 1, 0)] + 1, 0
-    )
+    n_seg = jnp.sum(is_start.astype(jnp.int32))
+    # unique segments = segments that start within the valid prefix
+    slots = jnp.arange(M, dtype=jnp.int32)
+    n_unique = jnp.sum((is_start & (slots < total_valid)).astype(jnp.int32))
 
-    # compaction: ONE narrow scatter-max finds each segment's last row;
-    # everything else is gathers (scatters of wide rows are the slow op
-    # on this backend).
-    rep_idx = jnp.zeros(M, dtype=jnp.int32).at[seg].max(jidx)
-    out_words = sw[rep_idx]
-    out_cnt = jnp.minimum(cnt_scan[rep_idx], 255).astype(jnp.int32)
-    out_bits = (bit_tot[rep_idx] > 0).astype(jnp.uint32)
-    out_ctx = jnp.sum(
-        out_bits << np.arange(8).astype(np.uint32)[None, :],
-        axis=1,
-        dtype=sctx.dtype,
-    )
+    keys = jnp.where(is_start, slots, slots + M)
+    seg_first = jax.lax.sort([keys], num_keys=1)[0]  # slot s -> start row
+    nxt = jnp.concatenate([seg_first[1:], jnp.full(1, 2 * M, jnp.int32)])
+    seg_last = jnp.where(slots + 1 < n_seg, nxt, M) - 1
+    seg_first = jnp.minimum(seg_first, M - 1)
+    seg_last = jnp.clip(seg_last, 0, M - 1)
 
-    tail = jidx >= n_unique
+    # segmented count sum from one global cumsum
+    cs = jnp.cumsum(scnt.astype(jnp.int32))
+    first_cs = jnp.where(seg_first > 0, cs[jnp.maximum(seg_first - 1, 0)], 0)
+    out_cnt = jnp.minimum(cs[seg_last] - first_cs, 255).astype(jnp.int32)
+
+    # segmented OR of the context byte: one associative scan
+    ctx_scan = _seg_or_scan(sctx, is_start)
+    out_ctx = ctx_scan[seg_last]
+
+    out_words = sw[seg_last]
+
+    tail = slots >= n_unique
     out_words = jnp.where(tail[:, None], FULL, out_words)
     out_ctx = jnp.where(tail, 0, out_ctx)
     out_cnt = jnp.where(tail, 0, out_cnt)
@@ -387,6 +379,16 @@ def _host_merge_all(runs):
     return runs[0]
 
 
+def _use_pallas_kmerize() -> bool:
+    """Pallas kmerize is the default on real TPU; env-overridable."""
+    env = os.environ.get("W2RAP_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def count_kmers(
     bases,
     lengths,
@@ -419,6 +421,14 @@ def count_kmers(
     n_chunks = max(1, -(-n // chunk_reads))
     runs = []
     SLICE_Q = 1 << 18
+    if _use_pallas_kmerize():
+        from . import pallas_kmer as _pk
+
+        kmerize = functools.partial(
+            _pk.kmerize_chunk_pallas, k=k, min_qual=min_qual
+        )
+    else:
+        kmerize = functools.partial(kmerize_chunk, k=k, min_qual=min_qual)
     for ci in range(n_chunks):
         start = ci * chunk_reads
         stop = min(start + chunk_reads, n)
@@ -428,8 +438,8 @@ def count_kmers(
         cb[: stop - start] = bases[start:stop]
         cl[: stop - start] = lengths[start:stop]
         cq[: stop - start] = quals[start:stop]
-        cw, cctx, cvalid = kmerize_chunk(
-            jnp.asarray(cb), jnp.asarray(cl), jnp.asarray(cq), k, min_qual
+        cw, cctx, cvalid = kmerize(
+            jnp.asarray(cb), jnp.asarray(cl), jnp.asarray(cq)
         )
         ow, octx, ocnt, nu_d = sort_collapse_leaf(cw, cctx, W)
         nu = int(nu_d)
