@@ -261,9 +261,37 @@ def layout_reads(hbv, paths, read_lengths):
 MAX_PROX_LEFT = 400
 MAX_PROX_RIGHT = 400
 PAIR_SAMPLE = 200
-# k2 floor sequence (AssembleGaps.cc driver: {0,100,128,144,172,200});
-# multiples of 16 shift to the nearest supported size (sentinel layout)
-K2_SEQUENCE = (84, 100, 132, 144, 172, 200)
+# K2_FLOOR sequence (w2rap-contigger.cc:432: {0,100,128,144,172,200});
+# the working K2 is max(SelectK2(corrected), K2_FLOOR), floors snapped to
+# the engine's supported sizes
+K2_FLOOR_SEQUENCE = (0, 100, 132, 144, 172, 200)
+
+# BigK::gK allowed K values (LargeKDispatcher.h:22-27) as used by
+# SelectK2 (LongProtoTools.cc:45: nearest allowed K to 0.22 * median
+# corrected length)
+ALLOWED_K = (
+    20, 24, 28, 32, 40, 48, 60, 72, 80, 84, 88, 96, 100, 108, 116, 128,
+    136, 144, 152, 160, 168, 172, 180, 188, 196, 200, 224, 240, 260, 288,
+    320, 368, 400, 440, 460, 500, 544, 640, 720, 800, 880, 960, 1000,
+    1200, 1600, 2000, 10000,
+)
+K2FRAC = 0.22
+
+
+def snap_engine_k(k):
+    """The kmer engine's sentinel layout needs k % 16 != 0 (an all-T
+    kmer would collide with the all-ones invalid-row marker); shift to
+    the next odd-word size."""
+    return k + 4 if k % 16 == 0 else k
+
+
+def select_k2(corrected_lens):
+    """SelectK2 (LongProtoTools.cc:45-76)."""
+    if not corrected_lens:
+        return 0
+    med = int(np.median(np.asarray(sorted(corrected_lens))))
+    target = K2FRAC * med
+    return min(ALLOWED_K, key=lambda k: abs(target - k))
 
 
 def find_pids_st(lefts, rights, layout, max_prox_left=MAX_PROX_LEFT,
@@ -391,17 +419,16 @@ def assemble_gaps2(hbv, paths, reads, pair_sample=PAIR_SAMPLE,
                    max_bpaths=2000, verbose=False):
     """Per-blob local reassembly; returns new_stuff (list of uint8 seqs).
 
-    This is the round-1 working subset of AssembleGaps2: the correction
-    suite is pre_correct + frequency trimming (Correct1Pre/CorrectPairs1
-    refinements land in round 2); local assembly, start/stop trimming,
-    acyclicity gate, bpath enumeration and Patch's junction cats follow
-    the reference flow.
+    Follows AssembleGaps2 (AssembleGaps.cc:237-481): per blob, the full
+    CorrectionSuite (ops.correction), then local assembly of the
+    corrected/closed sequences at K2 = max(SelectK2, K2_FLOOR) over the
+    K2_FLOOR sequence, start/stop trimming, acyclicity gate, bpath
+    enumeration, and Patch's junction cats.
     """
     from ..core.reads import ReadSet
     from ..graph import ops as gops
     from ..graph.lines import edge_paths
-    from ..ops import precorrect
-    from ..paths import fillpairs
+    from ..ops import correction
 
     k = hbv.k
     clusters, _ = unsat(hbv, paths)
@@ -426,20 +453,23 @@ def assemble_gaps2(hbv, paths, reads, pair_sample=PAIR_SAMPLE,
             reads.lengths[rids].copy(),
             reads.quals[rids].copy(),
         )
-        # correction suite v1: pre-correct, then frequency-trim
-        sub.bases, _nf = precorrect.pre_correct(sub)
-        trim = fillpairs.trim_reads(sub, min_freq=2)
-        seqs = [
-            sub.bases[i, : trim[i]].copy()
-            for i in range(sub.n_reads)
-            if trim[i] > 0
-        ]
+        corrected, _creads, _cquals, _done = correction.correction_suite(sub)
+        seqs = [np.asarray(s, dtype=np.uint8) for exp in corrected
+                for s in exp]
+        if not seqs:
+            continue
+        k2_sel = select_k2([len(exp[0]) for exp in corrected if exp])
 
         root_left = [hbv.edge_seq(e) for e in lefts]
         root_right = [hbv.edge_seq(e) for e in rights]
 
         final = None
-        for k2 in K2_SEQUENCE:
+        tried = set()
+        for k2_floor in K2_FLOOR_SEQUENCE:
+            k2 = snap_engine_k(max(k2_sel, k2_floor))
+            if k2 in tried:
+                continue
+            tried.add(k2)
             built = _local_graph(seqs, k2, min_freq=2)
             if built is None:
                 continue
