@@ -6,8 +6,10 @@ frag_reads_orig.fastb/.qualp.  Here: a numpy-vectorized fastq(.gz) parser
 producing a dense ReadSet; pairs are interleaved (read 2i, 2i+1), same as
 the reference's PairsManager convention.
 
-BAM and feudal (.fastb/.qualp) readers are planned compat additions (the
-reference's BAMReader is a self-contained BGZF parser, src/bam/ReadBAM.h).
+BAM input goes through :mod:`.io_bam` (BGZF parser, parity with
+src/bam/ReadBAM.cc) and feudal .fastb[/.qualb/.qualp] checkpoints through
+:mod:`.feudal`, matching the reference's accepted input kinds
+(ExtractReads.cc:205-266).
 """
 
 from __future__ import annotations
@@ -92,15 +94,77 @@ def to_readset(seq_bytes_list, qual_bytes_list=None, qual_offset=33) -> ReadSet:
     return ReadSet(bases, lens, quals)
 
 
+def _subsample_pairs(rs: ReadSet, frac: float, seed: int) -> ReadSet:
+    if frac >= 1.0:
+        return rs
+    rng = np.random.default_rng(seed)
+    keep = rng.random(rs.n_reads // 2) < frac
+    idx = np.flatnonzero(np.repeat(keep, 2))
+    return ReadSet(rs.bases[idx], rs.lengths[idx], rs.quals[idx])
+
+
+def _codes_to_readset(code_list, qual_list) -> ReadSet:
+    n = len(code_list)
+    lens = np.array([len(s) for s in code_list], dtype=np.int32)
+    lmax = int(lens.max()) if n else 0
+    bases = np.zeros((n, lmax), dtype=np.uint8)
+    quals = np.zeros((n, lmax), dtype=np.uint8)
+    for i, s in enumerate(code_list):
+        bases[i, : lens[i]] = s
+        quals[i, : lens[i]] = qual_list[i] if qual_list is not None else 40
+    return ReadSet(bases, lens, quals)
+
+
+def load_bam_readset(path: str) -> ReadSet:
+    """BAM input: pair records by name (.1/.2 suffixes), interleave.
+
+    Reference keeps BAM records in file order and pairs via
+    ReadNameLookup; here names are matched directly
+    (ExtractReads.cc:205-233, ReadBAM.cc:436-563)."""
+    from .io_bam import read_bam
+
+    recs = read_bam(path)
+    firsts = {n[:-2]: (c, q) for n, c, q in recs if n.endswith(".1")}
+    codes, quals = [], []
+    for n, c, q in recs:
+        if n.endswith(".2") and n[:-2] in firsts:
+            c1, q1 = firsts.pop(n[:-2])
+            codes += [c1, c]
+            quals += [q1, q]
+    return _codes_to_readset(codes, quals)
+
+
+def load_feudal_readset(fastb_path: str) -> ReadSet:
+    """Feudal checkpoint input: .fastb plus sibling .qualp or .qualb."""
+    from . import feudal
+
+    codes = feudal.read_fastb(fastb_path)
+    stem = fastb_path[: -len(".fastb")]
+    if os.path.exists(stem + ".qualp"):
+        quals = feudal.read_qualp(stem + ".qualp")
+    elif os.path.exists(stem + ".qualb"):
+        quals = feudal.read_qualb(stem + ".qualb")
+    else:
+        quals = None
+    return _codes_to_readset(codes, quals)
+
+
 def extract_reads(read_spec: str, frac: float = 1.0, seed: int = 42) -> ReadSet:
     """ExtractReads equivalent: read_spec is 'r1.fastq,r2.fastq' (paired)
     or a single (possibly interleaved) fastq; .gz supported.  Pairs are
     interleaved in the output.  frac subsamples pairs (reference's
-    `frac` option, ExtractReads.cc)."""
+    `frac` option, ExtractReads.cc).  .bam and .fastb specs dispatch to
+    the BGZF/feudal readers."""
     files = [f.strip() for f in read_spec.split(",") if f.strip()]
     for f in files:
         if not os.path.exists(f):
             raise FileNotFoundError(f)
+    if len(files) == 1 and files[0].endswith(".bam"):
+        rs = load_bam_readset(files[0])
+        return _subsample_pairs(rs, frac, seed)
+    if len(files) == 1 and files[0].endswith(".fastb"):
+        rs = load_feudal_readset(files[0])
+        return _subsample_pairs(rs, frac, seed)
     if len(files) == 2:
         s1, q1 = load_fastq(files[0])
         s2, q2 = load_fastq(files[1])
