@@ -165,6 +165,29 @@ def extract_reads(read_spec: str, frac: float = 1.0, seed: int = 42) -> ReadSet:
     if len(files) == 1 and files[0].endswith(".fastb"):
         rs = load_feudal_readset(files[0])
         return _subsample_pairs(rs, frac, seed)
+    if os.environ.get("W2RAP_NATIVE", "1") != "0":
+        from .native_io import load_fastq_readset
+
+        sets = [load_fastq_readset(f) for f in files]
+        if all(s is not None for s in sets):
+            if len(sets) == 2:
+                r1, r2 = sets
+                assert r1.n_reads == r2.n_reads, "R1/R2 read counts differ"
+                lmax = max(r1.max_len, r2.max_len)
+                n = r1.n_reads + r2.n_reads
+                bases = np.zeros((n, lmax), dtype=np.uint8)
+                quals = np.zeros((n, lmax), dtype=np.uint8)
+                lengths = np.empty(n, dtype=np.int32)
+                bases[0::2, :r1.max_len] = r1.bases
+                bases[1::2, :r2.max_len] = r2.bases
+                quals[0::2, :r1.max_len] = r1.quals
+                quals[1::2, :r2.max_len] = r2.quals
+                lengths[0::2] = r1.lengths
+                lengths[1::2] = r2.lengths
+                rs = ReadSet(bases, lengths, quals)
+            else:
+                rs = sets[0]
+            return _subsample_pairs(rs, frac, seed)
     if len(files) == 2:
         s1, q1 = load_fastq(files[0])
         s2, q2 = load_fastq(files[1])
