@@ -89,3 +89,38 @@ def test_nxx_stats(rng):
     stats = nxx_stats(hbv, genome_size=3000)
     assert stats["canonical_size"] > 0
     assert stats["N50"] is not None and stats["N50"] > 0
+
+
+def _tiny_graph_for_gfa():
+    """Small HBV from a random genome's k-mers (k=15)."""
+    import numpy as np
+    from w2rap_contigger_tpu.graph import build as gb
+    from tests.test_graph_build import genome_reads, count_with_engine
+
+    rng = np.random.default_rng(11)
+    k = 15
+    g, reads = genome_reads(rng, 3000, 3 * k, k)
+    d = count_with_engine(reads, k)
+    gb.recompute_adjacencies(d)
+    edge_bases, edge_start = gb.build_unitigs(d)
+    hbv, _, _ = gb.build_hbv_from_edges(edge_bases, edge_start, k)
+    return hbv, None
+
+
+def test_gfa_lines_dump(tmp_path):
+    """Per-line coloured GFA (_lines.gfa) + coloured raw dump
+    (GFADump.cc:160-235)."""
+    from w2rap_contigger_tpu.graph import gfa as gfa_mod
+
+    hbv, _ = _tiny_graph_for_gfa()
+    pref = str(tmp_path / "t")
+    gfa_mod.gfa_dump(hbv, pref, find_lines=True)
+    lines_txt = open(pref + "_lines.gfa").read()
+    raw_txt = open(pref + "_raw.gfa").read()
+    assert lines_txt.startswith("H\tVN:Z:1.0")
+    assert "CL:z:" in lines_txt and "CL:z:" in raw_txt
+    # every S in the lines dump is a canonical edge id
+    import re
+    for m in re.finditer(r"^S\tedge(\d+)\t", lines_txt, re.M):
+        e = int(m.group(1))
+        assert min(e, int(hbv.inv[e])) == e

@@ -601,6 +601,17 @@ class Stack:
         q = np.where(change, 0, q).astype(np.int16)
         return b, q, trim_to
 
+    def correct_all_em3(self):
+        """CorrectAllEM3 (ReadStack.cc wrapper over run_EMEC3,
+        src/paths/long/EMEC3.cc:601): EM friend/truth estimation on this
+        stack; returns (b, q, trim_to)."""
+        from .emec3 import run_emec3
+
+        calls = self.bases.astype(np.int8)
+        quals = np.where(self.quals >= 0, self.quals, 0).astype(np.uint8)
+        t, q, _ = run_emec3(calls, quals)
+        return t.astype(np.uint8), q.astype(np.int16), self.cols
+
 
 # ---------------------------------------------------------------------------
 # GetOffsets1 (ReadStack.cc:1360-1689)

@@ -176,7 +176,7 @@ def run_pipeline(
             lines_f = lines_mod.sort_lines(hbv, lines_f)
             lines_mod.dump_line_files(hbv, lines_f, out_dir, "a", paths=paths)
             lines_mod.write_stats(hbv, lines_f, out_dir)
-        gfa.gfa_dump(hbv, f"{out_dir}/{prefix}_assembly")
+        gfa.gfa_dump(hbv, f"{out_dir}/{prefix}_assembly", find_lines=True)
         perf.checkpoint("MakeGaps+FinalFiles")
 
     return hbv, paths

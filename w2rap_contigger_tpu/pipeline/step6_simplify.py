@@ -184,5 +184,5 @@ def contig_outputs(hbv, paths, out_dir: str, prefix: str = "a"):
     with open(f"{out_dir}/stats", "a") as f:
         f.write(f"cn_frac_good: {stats['cn_frac_good']}\n")
     cov_mod.frag_dist(hbv, paths, f"{out_dir}/{prefix}.fin.frags.dist")
-    gfa.gfa_dump(hbv, f"{out_dir}/{prefix}_contigs")
+    gfa.gfa_dump(hbv, f"{out_dir}/{prefix}_contigs", lines=lines)
     return lines, stats
