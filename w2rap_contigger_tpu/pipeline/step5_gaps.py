@@ -388,6 +388,25 @@ def _local_graph(seqs, k2, min_freq=2):
     return d, hbv, fx, rx
 
 
+def _low_coverage_set(built, seqs, k2):
+    """SupportedHyperBasevector low-coverage filter on a local graph:
+    trace the corrected sequences (LongHyper.cc:787-814), weight edges,
+    apply DeleteLowCoverage's default branch (graph/shb.py).  Returns
+    the set of local edge ids MakeLocalAssembly2 would have deleted
+    (GapToyTools.cc:397)."""
+    from ..graph import shb
+    from ..paths import flat_pather
+
+    d2, lhb, fx, rx = built
+    seg = np.zeros(len(seqs) + 1, dtype=np.int64)
+    seg[1:] = np.cumsum([len(s) for s in seqs])
+    flat = np.concatenate(seqs)
+    traced, _, _ = flat_pather.path_flat_sequences(flat, seg, d2, lhb, fx, rx)
+    inv = shb.involution_from_xlats(lhb.n_edges, fx, rx)
+    cov = shb.edge_coverage(lhb.n_edges, inv, traced)
+    return shb.low_coverage_edges(lhb, inv, cov)
+
+
 def _edges_with_shared_kmers(d, hbv_local, fx, rx, root_seqs, k2):
     """Local edges sharing a k2-mer with any root sequence (MakeStartStop)."""
     import jax.numpy as jnp
@@ -474,14 +493,17 @@ def assemble_gaps2(hbv, paths, reads, pair_sample=PAIR_SAMPLE,
             if built is None:
                 continue
             d2, lhb, fx, rx = built
+            lowcov = _low_coverage_set(built, seqs, k2)
             starts = _edges_with_shared_kmers(d2, lhb, fx, rx, root_left, k2)
+            starts -= lowcov
             stops = _edges_with_shared_kmers(d2, lhb, fx, rx, root_right, k2)
+            stops -= lowcov
             if not starts or not stops:
                 continue
             # edges between starts and stops (EdgesSomewhereBetween)
-            fwd = _reachable_edges(lhb, starts, forward=True)
-            bwd = _reachable_edges(lhb, stops, forward=False)
-            keep = (fwd & bwd) | starts | stops
+            fwd = _reachable_edges(lhb, starts, forward=True, blocked=lowcov)
+            bwd = _reachable_edges(lhb, stops, forward=False, blocked=lowcov)
+            keep = ((fwd & bwd) | starts | stops) - lowcov
             dels = [e for e in range(lhb.n_edges) if e not in keep]
             from ..paths.read_paths import ReadPathVec
 
@@ -568,8 +590,9 @@ def assemble_gaps2(hbv, paths, reads, pair_sample=PAIR_SAMPLE,
     return new_stuff
 
 
-def _reachable_edges(hbv, seed_edges, forward=True):
-    """Edges reachable from the far ends of seed edges."""
+def _reachable_edges(hbv, seed_edges, forward=True, blocked=frozenset()):
+    """Edges reachable from the far ends of seed edges (edges in
+    `blocked` — e.g. low-coverage deletions — are not traversed)."""
     fo, fe, to, te = hbv.vertex_csr()
     seen_v = set()
     stack = [
@@ -585,6 +608,8 @@ def _reachable_edges(hbv, seed_edges, forward=True):
         es = fe[fo[v] : fo[v + 1]] if forward else te[to[v] : to[v + 1]]
         for e in es:
             e = int(e)
+            if e in blocked:
+                continue
             out.add(e)
             stack.append(
                 int(hbv.to_right[e]) if forward else int(hbv.to_left[e])
