@@ -144,3 +144,45 @@ def test_lookup_words(rng):
     )
     _, found2 = lookup.lookup_words(table, other)
     np.testing.assert_array_equal(np.asarray(found2), in_table)
+
+
+@pytest.mark.parametrize("k", [31, 60])
+def test_count_kmers_device_parity(rng, k):
+    """The on-device pipeline (Pallas sort+collapse, interpret mode) must
+    reproduce count_kmers exactly: same dict, counts, contexts, hist."""
+    L = k + 25
+    bases, lengths, quals = make_reads(rng, 200, L)
+    quals = np.where(rng.random((200, L)) < 0.1, 3, quals).astype(np.uint8)
+    bases = np.concatenate([bases, bases[:80]], axis=0)
+    lengths = np.concatenate([lengths, lengths[:80]])
+    quals = np.concatenate([quals, quals[:80]], axis=0)
+
+    ref_d, ref_hist = ke.count_kmers(
+        bases, lengths, quals, k, min_qual=7, min_freq=2, chunk_reads=64
+    )
+    dev_d, dev_hist = ke.count_kmers_device(
+        bases, lengths, quals, k, min_qual=7, min_freq=2,
+        chunk_reads=128, interpret=True,
+    )
+    np.testing.assert_array_equal(dev_d.words, ref_d.words)
+    np.testing.assert_array_equal(dev_d.counts, ref_d.counts)
+    np.testing.assert_array_equal(dev_d.ctx, ref_d.ctx)
+    np.testing.assert_array_equal(dev_hist, ref_hist)
+
+
+def test_count_kmers_device_range_partition(rng):
+    """Hash-range slices partition the dictionary exactly."""
+    k = 31
+    bases, lengths, quals = make_reads(rng, 150, 60, with_quals=False)
+    full_d, _ = ke.count_kmers(bases, lengths, quals, k, min_freq=1)
+    parts = []
+    for ri in range(4):
+        d, _ = ke.count_kmers_device(
+            bases, lengths, quals, k, min_freq=1, interpret=True,
+            range_bits=2, range_index=ri,
+        )
+        parts.append(d)
+    words = np.concatenate([p.words for p in parts], axis=0)
+    counts = np.concatenate([p.counts for p in parts])
+    np.testing.assert_array_equal(words, full_d.words)
+    np.testing.assert_array_equal(counts, full_d.counts)

@@ -581,6 +581,134 @@ def count_kmers_flat(
     )
 
 
+# ---------------------------------------------------------------------------
+# fully on-device counting (Pallas bitonic sort + collapse) — the round-2
+# performance path: one global sort instead of per-chunk lax.sort + host
+# merge.  Reference hot loop: createDictOMPRecursive
+# (src/paths/long/BuildReadQGraph.cc:1015-1110).
+# ---------------------------------------------------------------------------
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def count_kmers_device(
+    bases,
+    lengths,
+    quals,
+    k: int,
+    min_qual: int = 7,
+    min_freq: int = 4,
+    chunk_reads: int = 262144,
+    interpret: bool = False,
+    range_bits: int = 0,
+    range_index: int = 0,
+):
+    """Count canonical kmers entirely on device; returns (KmerDict, hist).
+
+    Pipeline: Pallas kmerize (per ≤chunk_reads block) → concatenate into
+    one power-of-two padded stream → Pallas bitonic sort (pallas_sort)
+    → Pallas collapse+compact (pallas_collapse) → download only the
+    unique rows.  Counts saturate at 255 and the histogram matches
+    count_kmers (reference BuildReadQGraph.cc:1095-1115).
+
+    range_bits/range_index optionally restrict counting to kmers whose
+    top word falls in one of 2**range_bits equal slices of the canonical
+    kmer space — the memory-bounded multipass analogue of the
+    reference's disk batches (BuildReadQGraph.cc:1120-1250) and the
+    per-chip shard selector for multi-chip hash-range sharding.
+    """
+    from . import pallas_collapse as pcol
+    from . import pallas_sort as psort
+
+    n = bases.shape[0]
+    L = bases.shape[1]
+    W = bk.nwords(k)
+
+    if _use_pallas_kmerize() and not interpret:
+        from . import pallas_kmer as _pk
+
+        kmerize = functools.partial(_pk.kmerize_chunk_pallas, k=k, min_qual=min_qual)
+    else:
+        kmerize = functools.partial(kmerize_chunk, k=k, min_qual=min_qual)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def _payload_mask(words, ctx):
+        valid = ~bk.words_eq(words, jnp.full((1, W), FULL, dtype=jnp.uint32))
+        if range_bits:
+            shift = np.uint32(32 - range_bits)
+            in_range = (words[:, 0] >> shift) == np.uint32(range_index)
+            valid = valid & in_range
+        payload = jnp.where(valid, (ctx << np.uint32(8)) | np.uint32(1), 0)
+        wout = [
+            jnp.where(valid, words[:, j], FULL) for j in range(W)
+        ]
+        return wout, payload
+
+    word_parts = [[] for _ in range(W)]
+    payload_parts = []
+    n_kmers_total = 0
+    for start in range(0, max(n, 1), chunk_reads):
+        stop = min(start + chunk_reads, n)
+        if stop <= start:
+            break
+        cb = np.asarray(bases[start:stop])
+        cl = np.asarray(lengths[start:stop])
+        cq = np.asarray(quals[start:stop])
+        if cb.shape[0] < chunk_reads and n > chunk_reads:
+            padn = chunk_reads - cb.shape[0]
+            cb = np.concatenate([cb, np.zeros((padn, L), np.uint8)])
+            cl = np.concatenate([cl, np.zeros(padn, np.int32)])
+            cq = np.concatenate([cq, np.zeros((padn, L), np.uint8)])
+        words, ctx, _ = kmerize(jnp.asarray(cb), jnp.asarray(cl), jnp.asarray(cq))
+        wout, payload = _payload_mask(words, ctx)
+        for j in range(W):
+            word_parts[j].append(wout[j])
+        payload_parts.append(payload)
+        n_kmers_total += words.shape[0]
+
+    if n_kmers_total == 0:
+        empty = np.zeros((0, W), dtype=np.uint32)
+        return (
+            KmerDict(empty, np.zeros(0, np.int32), np.zeros(0, np.uint32), k),
+            np.zeros(101, dtype=np.int64),
+        )
+
+    n_pow2 = _next_pow2(n_kmers_total + 1)
+    n_pow2 = max(n_pow2, 128)
+
+    def _cat(parts, fill):
+        flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        return jnp.concatenate(
+            [flat, jnp.full(n_pow2 - flat.shape[0], fill, dtype=jnp.uint32)]
+        )
+
+    planes = [_cat(word_parts[j], FULL) for j in range(W)]
+    planes.append(_cat(payload_parts, np.uint32(0)))
+
+    sorted_planes = psort.bitonic_sort(planes, num_keys=W, interpret=interpret)
+    out_planes, counts = pcol.collapse_compact(sorted_planes, interpret=interpret)
+    words_h, ctx_h, cnt_h = pcol.gather_unique(out_planes, counts)
+
+    hist = np.zeros(101, dtype=np.int64)
+    if cnt_h.size:
+        np.add.at(hist, np.minimum(cnt_h, 100), 1)
+    hist[0] = 0
+
+    keep = cnt_h >= min_freq
+    d = KmerDict(
+        words_h[keep],
+        cnt_h[keep].astype(np.int32),
+        ctx_h[keep].astype(np.uint32),
+        k,
+    )
+    return d, hist
+
+
 DICT_QUANTUM = 1 << 20
 
 
