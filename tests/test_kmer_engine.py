@@ -186,3 +186,24 @@ def test_count_kmers_device_range_partition(rng):
     counts = np.concatenate([p.counts for p in parts])
     np.testing.assert_array_equal(words, full_d.words)
     np.testing.assert_array_equal(counts, full_d.counts)
+
+
+@pytest.mark.parametrize("k", [32, 64, 80])
+def test_count_kmers_parity_k_mult16(rng, k):
+    """K % 16 == 0: no pad bits in the last word; the sentinel stays
+    unreachable because dictionaries hold canonical kmers only."""
+    L = k + 20
+    bases, lengths, quals = make_reads(rng, 150, L)
+    # poly-T stretches to stress the all-ones corner
+    bases[:10, : k + 4] = 3
+    d, hist = ke.count_kmers(
+        bases, lengths, quals, k, min_qual=7, min_freq=1, chunk_reads=64
+    )
+    expect = brute_count(bases, lengths, quals, k, 7)
+    got_keys = [
+        bk.unpack_words(d.words[i], k).tobytes() for i in range(d.size)
+    ]
+    assert got_keys == sorted(expect.keys())
+    for i, key in enumerate(got_keys):
+        assert int(d.counts[i]) == expect[key][0]
+        assert int(d.ctx[i]) == expect[key][1]

@@ -44,3 +44,88 @@ def test_graft_entry_single_and_multi():
     res = out(*args)
     assert int(res[2]) > 0
     ge.dryrun_multichip(8)
+
+
+def test_count_kmers_sharded_production(rng):
+    """Production sharded counter: bit-identical dict (words, counts,
+    contexts, hist) vs the single-chip path, at k=60 production width,
+    multiple chunks, and duplicated reads for counts > 1."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    mesh = pmesh.make_mesh(8)
+    k = 60
+    n, L = 96, 120
+    bases = rng.integers(0, 4, size=(n, L)).astype(np.uint8)
+    lengths = rng.integers(70, L + 1, size=n).astype(np.int32)
+    quals = rng.integers(0, 41, size=(n, L)).astype(np.uint8)
+    bases = np.concatenate([bases, bases[:40]], axis=0)
+    lengths = np.concatenate([lengths, lengths[:40]])
+    quals = np.concatenate([quals, quals[:40]], axis=0)
+
+    d_sh, hist_sh = pmesh.count_kmers_sharded(
+        bases, lengths, quals, k, mesh, min_freq=2, chunk_reads=8
+    )
+    d_ref, hist_ref = ke.count_kmers(
+        bases, lengths, quals, k, min_freq=2, chunk_reads=32
+    )
+    np.testing.assert_array_equal(d_sh.words, d_ref.words)
+    np.testing.assert_array_equal(d_sh.counts, d_ref.counts)
+    np.testing.assert_array_equal(d_sh.ctx, d_ref.ctx)
+    np.testing.assert_array_equal(hist_sh, hist_ref)
+
+
+def test_count_kmers_sharded_overflow_retry(rng):
+    """Skewed input (one repeated kmer everywhere) must overflow a tiny
+    bucket capacity and retry, not drop kmers."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    mesh = pmesh.make_mesh(8)
+    k = 31
+    n, L = 32, 64
+    one = rng.integers(0, 4, size=L).astype(np.uint8)
+    bases = np.tile(one, (n, 1))  # all kmers identical across reads
+    lengths = np.full(n, L, dtype=np.int32)
+    quals = np.full((n, L), 35, dtype=np.uint8)
+    d_sh, _ = pmesh.count_kmers_sharded(
+        bases, lengths, quals, k, mesh, min_freq=1, chunk_reads=4,
+        cap_factor=0.05,
+    )
+    d_ref, _ = ke.count_kmers(bases, lengths, quals, k, min_freq=1)
+    np.testing.assert_array_equal(d_sh.words, d_ref.words)
+    np.testing.assert_array_equal(d_sh.counts, d_ref.counts)
+
+
+def test_sharded_step2_graph_identical(rng):
+    """Sharded dict -> unitigs -> HBV is bit-identical to single-chip."""
+    import jax
+
+    from w2rap_contigger_tpu.graph import build as gb
+
+    assert len(jax.devices()) >= 8
+    mesh = pmesh.make_mesh(8)
+    k = 31
+    genome = rng.integers(0, 4, size=3000).astype(np.uint8)
+    n, L = 150, 100
+    starts = rng.integers(0, len(genome) - L, size=n)
+    bases = genome[starts[:, None] + np.arange(L)[None, :]].astype(np.uint8)
+    lengths = np.full(n, L, dtype=np.int32)
+    quals = np.full((n, L), 35, dtype=np.uint8)
+
+    def build(d):
+        gb.recompute_adjacencies(d)
+        eb, es = gb.build_unitigs(d)
+        return gb.build_hbv_from_edges(eb, es, k)
+
+    d_sh, _ = pmesh.count_kmers_sharded(
+        bases, lengths, quals, k, mesh, min_freq=2, chunk_reads=32
+    )
+    d_ref, _ = ke.count_kmers(bases, lengths, quals, k, min_freq=2)
+    hbv_sh, _, _ = build(d_sh)
+    hbv_ref, _, _ = build(d_ref)
+    np.testing.assert_array_equal(hbv_sh.edge_bases, hbv_ref.edge_bases)
+    np.testing.assert_array_equal(hbv_sh.edge_start, hbv_ref.edge_start)
+    np.testing.assert_array_equal(hbv_sh.to_left, hbv_ref.to_left)
+    np.testing.assert_array_equal(hbv_sh.to_right, hbv_ref.to_right)
+    np.testing.assert_array_equal(hbv_sh.inv, hbv_ref.inv)

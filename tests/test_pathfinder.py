@@ -75,4 +75,7 @@ def test_classify_forks(rng):
     genome = loop_genome(rng, k)
     hbv, paths = build_graph(rng, genome, k)
     stats = PathFinder(hbv, paths).classify_forks()
-    assert sum(stats.values()) == hbv.n_edges
+    counts = [v for k_, v in stats.items() if not k_.endswith("_size")]
+    assert sum(counts) == hbv.n_edges
+    total_size = sum(v for k_, v in stats.items() if k_.endswith("_size"))
+    assert total_size == int(np.sum(hbv.edge_len()))

@@ -95,3 +95,19 @@ def test_checkpoint_resume(tmp_path, genome_and_reads):
         out_dir=out, reads=reads, large_k=100, from_step=4, chunk_reads=2048
     )
     assert os.path.exists(f"{out}/a.lines.fasta")
+
+
+def test_full_pipeline_k128(tmp_path, genome_and_reads):
+    """K % 16 == 0 end-to-end (the reference allows 10 such K values,
+    w2rap-contigger.cc:60-62; the canonical dictionary makes the
+    all-ones sentinel row unreachable for any k)."""
+    genome, reads = genome_and_reads
+    out = str(tmp_path)
+    run_pipeline(
+        out_dir=out, reads=reads, large_k=128, min_freq=4, min_qual=7,
+        chunk_reads=2048,
+    )
+    with open(f"{out}/a.lines.fasta") as f:
+        contigs = [l.strip() for l in f if not l.startswith(">")]
+    total = sum(len(c) for c in contigs)
+    assert total >= 0.9 * len(genome)

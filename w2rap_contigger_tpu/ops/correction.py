@@ -24,11 +24,13 @@ import numpy as np
 from . import friends as friends_mod
 from .stack import Stack, get_offsets1
 
-FF_MAX_FREQ = 1000
-MAX_STACK = 10000
-Q_SOLID = 30
-PROTECTED_BASES = 10
-Q_TO_PROTECT = 20
+from ..config import DEFAULT as _H
+
+FF_MAX_FREQ = _H.FF_MAX_FREQ
+MAX_STACK = _H.MAX_STACK
+Q_SOLID = _H.Q_SOLID
+PROTECTED_BASES = _H.PROTECTED_BASES
+Q_TO_PROTECT = _H.Q_TO_PROTECT
 
 
 @dataclasses.dataclass
@@ -515,9 +517,8 @@ def correction_suite(reads, fill_min_freq=5):
 
 
 def _close_pairs_k2(creads, cquals, lengths, trim_to, done, to_edit,
-                    creads_done, K2=84):
-    # reference K2 = 80 (LoadCorrectCore.cc:273); 84 is the engine's
-    # nearest sentinel-safe size (see pipeline.step5_gaps.snap_engine_k)
+                    creads_done, K2=80):
+    # reference K2 = 80 (LoadCorrectCore.cc:273)
     """LoadCorrectCore.cc:266-400: path the trimmed reads on their own
     K2=80 graph; a pair whose mates both map cleanly inside one common
     edge is replaced by the implied full fragment."""

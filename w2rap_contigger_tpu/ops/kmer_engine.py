@@ -331,6 +331,10 @@ def host_merge_sorted(a, b):
     """
     wA, cA, nA = a
     wB, cB, nB = b
+    if wA.shape[0] == 0:
+        return wB, cB, nB
+    if wB.shape[0] == 0:
+        return wA, cA, nA
     vA = _vview(wA)
     vB = _vview(wB)
     pos = np.searchsorted(vA, vB)
@@ -398,6 +402,8 @@ def count_kmers(
     min_freq: int = 4,
     chunk_reads: int = 65536,
     pad_quantum: int = PAD_QUANTUM,
+    range_bits: int = 0,
+    range_index: int = 0,
 ):
     """Count canonical kmers with quality gating; returns (KmerDict, hist).
 
@@ -441,6 +447,13 @@ def count_kmers(
         cw, cctx, cvalid = kmerize(
             jnp.asarray(cb), jnp.asarray(cl), jnp.asarray(cq)
         )
+        if range_bits:
+            # keep only kmers in this hash-range slice (disk-batch /
+            # shard analogue, BuildReadQGraph.cc:1120-1250)
+            shift = np.uint32(32 - range_bits)
+            in_range = (cw[:, 0] >> shift) == np.uint32(range_index)
+            cw = jnp.where(in_range[:, None], cw, FULL)
+            cctx = jnp.where(in_range, cctx, 0)
         ow, octx, ocnt, nu_d = sort_collapse_leaf(cw, cctx, W)
         nu = int(nu_d)
         nq = min(ow.shape[0], ((nu + SLICE_Q - 1) // SLICE_Q) * SLICE_Q)
@@ -690,7 +703,17 @@ def count_kmers_device(
     planes = [_cat(word_parts[j], FULL) for j in range(W)]
     planes.append(_cat(payload_parts, np.uint32(0)))
 
-    sorted_planes = psort.bitonic_sort(planes, num_keys=W, interpret=interpret)
+    # sort backend: XLA's TPU sort currently outruns the pallas bitonic
+    # at production shapes (174 vs 69 Mrows/s); keep both wired and let
+    # the env override flip them as the kernel improves.  interpret mode
+    # always exercises the pallas network (test coverage).
+    backend = os.environ.get("W2RAP_SORT", "lax")
+    if interpret or backend == "pallas":
+        sorted_planes = psort.bitonic_sort(
+            planes, num_keys=W, interpret=interpret
+        )
+    else:
+        sorted_planes = list(jax.lax.sort(planes, num_keys=W))
     out_planes, counts = pcol.collapse_compact(sorted_planes, interpret=interpret)
     words_h, ctx_h, cnt_h = pcol.gather_unique(out_planes, counts)
 
@@ -707,6 +730,84 @@ def count_kmers_device(
         k,
     )
     return d, hist
+
+
+def count_kmers_batched(
+    bases,
+    lengths,
+    quals,
+    k: int,
+    min_qual: int = 7,
+    min_freq: int = 4,
+    chunk_reads: int = 65536,
+    disk_batches: int = 0,
+    tmp_dir: str | None = None,
+    max_mem_gb: int = 10000,
+    interpret: bool = False,
+):
+    """Production counting entry point.
+
+    On TPU, counting runs fully on device (count_kmers_device: Pallas
+    kmerize -> bitonic sort -> collapse); elsewhere the chunked
+    host-merge path (count_kmers).  disk_batches > 1 — or a working set
+    exceeding max_mem_gb (the SetMaxMemory analogue, System.cc:1027) —
+    splits the canonical kmer space into 2^b equal hash ranges counted
+    in separate passes over the reads, each range optionally spilled to
+    tmp_dir as npz; ranges are disjoint and ascending so the final dict
+    is their concatenation.  This mirrors createDictOMPDiskBased's
+    batch files + k-way merge (BuildReadQGraph.cc:1120-1250).
+    """
+    import jax
+
+    W = bk.nwords(k)
+    n_rows = int(bases.shape[0]) * max(0, int(bases.shape[1]) - k + 1)
+    bytes_needed = n_rows * 4 * (W + 1) * 3  # stream + sort ping/pong
+    budget = float(max_mem_gb) * (1 << 30)
+    n_batches = max(1, int(disk_batches))
+    while n_batches < 256 and bytes_needed / n_batches > budget:
+        n_batches *= 2
+    range_bits = max(0, int(n_batches - 1).bit_length())
+
+    use_device = (not interpret) and jax.default_backend() == "tpu"
+
+    def run_range(rb, ri):
+        if use_device or interpret:
+            return count_kmers_device(
+                bases, lengths, quals, k, min_qual=min_qual,
+                min_freq=min_freq, interpret=interpret,
+                range_bits=rb, range_index=ri,
+            )
+        return count_kmers(
+            bases, lengths, quals, k, min_qual=min_qual,
+            min_freq=min_freq, chunk_reads=chunk_reads,
+            range_bits=rb, range_index=ri,
+        )
+
+    if range_bits == 0:
+        return run_range(0, 0)
+
+    hist = np.zeros(101, dtype=np.int64)
+    spills = []
+    parts = []
+    for ri in range(1 << range_bits):
+        d, h = run_range(range_bits, ri)
+        hist += h
+        if tmp_dir:
+            os.makedirs(tmp_dir, exist_ok=True)
+            path = os.path.join(tmp_dir, f"kmer_range_{ri:04d}.npz")
+            np.savez(path, words=d.words, counts=d.counts, ctx=d.ctx)
+            spills.append(path)
+        else:
+            parts.append((d.words, d.counts, d.ctx))
+    if tmp_dir:
+        for path in spills:
+            z = np.load(path)
+            parts.append((z["words"], z["counts"], z["ctx"]))
+            os.remove(path)
+    words = np.concatenate([p[0] for p in parts], axis=0)
+    counts = np.concatenate([p[1] for p in parts])
+    ctx = np.concatenate([p[2] for p in parts])
+    return KmerDict(words, counts.astype(np.int32), ctx.astype(np.uint32), k), hist
 
 
 DICT_QUANTUM = 1 << 20

@@ -39,8 +39,13 @@ DEFAULT_TILE_ROWS = 256
 
 
 def _comb(a, b):
-    """Combine packed payloads (ctx<<8 | cnt): ctx ORs, cnt saturates."""
-    cnt = jnp.minimum((a & 0xFF) + (b & 0xFF), 255)
+    """Combine packed payloads (ctx<<8 | cnt): ctx ORs, cnt saturates.
+
+    The saturating min runs in int32 — Mosaic cannot legalize unsigned
+    vector min (arith.minui)."""
+    cnt = jnp.minimum(
+        ((a & 0xFF) + (b & 0xFF)).astype(jnp.int32), 255
+    ).astype(jnp.uint32)
     return ((a | b) & np.uint32(0xFFFFFF00)) | cnt
 
 
@@ -166,7 +171,12 @@ def _collapse_kernel(num_words, tile_rows, *refs):
     for j in range(W):
         out_words[j][:] = jnp.where(alive_b, ops[j], FULL)
     out_payload[:] = jnp.where(alive_b, ops[W], jnp.uint32(0))
-    out_count[0, 0] = jnp.sum(keep).astype(jnp.int32)
+    # per-tile kept count, broadcast over an (8, 128) VMEM block (Mosaic
+    # requires the sublane dim divisible by 8; unsigned reductions are
+    # unimplemented, so reduce in int32)
+    out_count[:, :] = jnp.full(
+        (8, LANES), jnp.sum(keep.astype(jnp.int32)), dtype=jnp.int32
+    )
 
 
 @functools.partial(
@@ -179,10 +189,12 @@ def _collapse_planes(planes, tile_rows, interpret):
     spec = pl.BlockSpec(
         (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    cnt_spec = pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
+    cnt_spec = pl.BlockSpec(
+        (8, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
     out_shapes = tuple(
         jax.ShapeDtypeStruct((rows, LANES), jnp.uint32) for _ in range(W + 1)
-    ) + (jax.ShapeDtypeStruct((grid[0], 1), jnp.int32),)
+    ) + (jax.ShapeDtypeStruct((grid[0] * 8, LANES), jnp.int32),)
     outs = pl.pallas_call(
         functools.partial(_collapse_kernel, W, tile_rows),
         grid=grid,
@@ -213,7 +225,7 @@ def collapse_compact(operands, tile_rows=None, interpret=False):
     outs = _collapse_planes(planes, tile_rows, interpret)
     W = len(operands) - 1
     out_planes = [o.reshape(n) for o in outs[: W + 1]]
-    counts = outs[W + 1].reshape(-1)
+    counts = outs[W + 1][::8, 0]
     return out_planes, counts
 
 

@@ -28,14 +28,16 @@ import numpy as np
 from . import bitkmer as bk
 from . import kmer_engine as ke
 
-PC_K = 25
+from ..config import DEFAULT as _H
+
+PC_K = _H.PC_K
 CENTER = PC_K // 2  # 12
 FLANK = PC_K - 1  # 24 bases -> 2 uint32 words
-N_KMERS_MIN = 6
-Q_HIGH = 20
-N_Q_HIGH_MAX_TO_LOSE = 1
-Q_SUM_MIN_TO_WIN = 60
-RATIO_LOSER = 0.25
+N_KMERS_MIN = _H.PC_N_KMERS_MIN
+Q_HIGH = _H.PC_Q_HIGH
+N_Q_HIGH_MAX_TO_LOSE = _H.PC_N_Q_HIGH_MAX_TO_LOSE
+Q_SUM_MIN_TO_WIN = _H.PC_Q_SUM_MIN_TO_WIN
+RATIO_LOSER = _H.PC_RATIO_LOSER
 
 FULL = np.uint32(0xFFFFFFFF)
 

@@ -400,22 +400,31 @@ class PathFinder:
         self.paths = ReadPathVec.from_lists(out_paths, paths.start)
 
     # ------------------------------------------------------------------
-    def classify_forks(self):
-        """PathFinder.cc:335-367 fork statistics."""
+    def classify_forks(self, log=False):
+        """PathFinder.cc:335-367 fork statistics (counts + base sizes);
+        vectorized over the right-vertex degrees of every edge."""
         hbv = self.hbv
-        outdeg = hbv.out_degree()
-        indeg = hbv.in_degree()
-        stats = dict(nothing=0, line=0, join=0, split=0, join_split=0)
-        for e in range(hbv.n_edges):
-            v = hbv.to_right[e]
-            if outdeg[v] == 0:
-                stats["nothing"] += 1
-            elif outdeg[v] == 1:
-                stats["line" if indeg[v] == 1 else "split"] += 1
-            elif indeg[v] == 1:
-                stats["join"] += 1
-            else:
-                stats["join_split"] += 1
+        outdeg = np.asarray(hbv.out_degree())
+        indeg = np.asarray(hbv.in_degree())
+        elen = np.asarray(hbv.edge_len())
+        v = np.asarray(hbv.to_right)[: hbv.n_edges]
+        od, idg = outdeg[v], indeg[v]
+        cls = np.where(
+            od == 0, 0,
+            np.where(od == 1, np.where(idg == 1, 1, 3),
+                     np.where(idg == 1, 2, 4)),
+        )
+        names = ("nothing", "line", "join", "split", "join_split")
+        stats = {}
+        for c, name in enumerate(names):
+            m = cls == c
+            stats[name] = int(m.sum())
+            stats[name + "_size"] = int(elen[: hbv.n_edges][m].sum())
+        if log:
+            print("Forward Node Edge Classification: ")
+            for name in names:
+                print(f"{name}_fw: {stats[name]} "
+                      f"( {stats[name + '_size']} kmers )")
         return stats
 
 

@@ -64,33 +64,56 @@ def run_pipeline(
     dump_perf: bool = False,
     chunk_reads: int = 65536,
     path_finder: bool = False,
+    threads: int = 4,
+    max_mem_gb: int = 10000,
+    disk_batches: int = 0,
+    tmp_dir: str | None = None,
+    pair_sample: int = 200,
+    extend_paths: bool = False,
+    dump_pf: bool = False,
 ):
     os.makedirs(out_dir, exist_ok=True)
     perf = PerfLog(f"{out_dir}/{prefix}.perf" if dump_perf else None)
     p = f"{out_dir}/{prefix}"
 
+    # SetThreads analogue (DiscovarTools.cc:468): caps the host-side
+    # BLAS/numpy thread pools; XLA device parallelism is unaffected.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS"):
+        os.environ.setdefault(var, str(threads))
+
     hbv = paths = None
+
+    # Lazy read loading: the reference reloads only what each step needs
+    # (w2rap-contigger.cc:559-569); steps 3 and 7 never touch the reads.
+    _reads_box = [reads]
+
+    def get_reads():
+        if _reads_box[0] is None:
+            _reads_box[0] = ReadSet.load(f"{out_dir}/frag_reads_orig.npz")
+        return _reads_box[0]
 
     # ---- step 1: read loading ----------------------------------------
     if from_step <= 1 <= to_step:
         if reads is None:
             assert read_spec, "step 1 needs read files"
             reads = extract_reads(read_spec)
+            _reads_box[0] = reads
         # the reference always writes frag_reads_orig.* in step 1
         # (w2rap-contigger.cc:315-316) so any later --from_step works
         reads.save(f"{out_dir}/frag_reads_orig.npz")
         perf.checkpoint("ReadLoad")
-    elif from_step >= 2 and reads is None:
-        reads = ReadSet.load(f"{out_dir}/frag_reads_orig.npz")
 
     # ---- step 2: small-k graph ---------------------------------------
     if from_step <= 2 <= to_step:
         hbv, paths, _d = step2_small_k.build_read_q_graph(
-            reads,
+            get_reads(),
             min_qual=min_qual,
             min_freq=min_freq,
             workdir=out_dir,
             chunk_reads=chunk_reads,
+            disk_batches=disk_batches,
+            tmp_dir=tmp_dir,
+            max_mem_gb=max_mem_gb,
         )
         if dump_all or to_step == 2:
             hbv.save(f"{p}.small_K.hbv.npz")
@@ -102,7 +125,9 @@ def run_pipeline(
 
     # ---- step 3: repath to large K -----------------------------------
     if from_step <= 3 <= to_step:
-        hbv, paths, _d2 = step3_repath.repath(hbv, paths, large_k)
+        hbv, paths, _d2 = step3_repath.repath(
+            hbv, paths, large_k, extend_paths=extend_paths
+        )
         if dump_all or to_step == 3:
             hbv.save(f"{p}.large_K.hbv.npz")
             paths.save(f"{p}.large_K.paths.npz")
@@ -113,7 +138,9 @@ def run_pipeline(
 
     # ---- step 4: clean large-K graph ---------------------------------
     if from_step <= 4 <= to_step:
-        hbv, paths = step4_clean.clean200x(hbv, paths, reads, min_size=min_size)
+        hbv, paths = step4_clean.clean200x(
+            hbv, paths, get_reads(), min_size=min_size
+        )
         if dump_all or to_step == 4:
             hbv.save(f"{p}.large_K.clean.hbv.npz")
             paths.save(f"{p}.large_K.clean.paths.npz")
@@ -129,12 +156,14 @@ def run_pipeline(
         from . import step5_gaps
         from ..paths.partners import partners_to_ends
 
-        new_stuff = step5_gaps.assemble_gaps2(hbv, paths, reads)
+        new_stuff = step5_gaps.assemble_gaps2(
+            hbv, paths, get_reads(), pair_sample=pair_sample
+        )
         if new_stuff:
             hbv, paths = step5_gaps.add_new_stuff(
-                hbv, paths, reads, new_stuff, chunk_reads=chunk_reads
+                hbv, paths, get_reads(), new_stuff, chunk_reads=chunk_reads
             )
-        paths, _ = partners_to_ends(hbv, paths, reads)
+        paths, _ = partners_to_ends(hbv, paths, get_reads())
         if dump_all or to_step == 5:
             hbv.save(f"{p}.large_K.final.hbv.npz")
             paths.save(f"{p}.large_K.final.paths.npz")
@@ -146,13 +175,18 @@ def run_pipeline(
     # ---- step 6: simplify + lines + contig outputs -------------------
     if from_step <= 6 <= to_step:
         hbv, paths = step6_simplify.simplify(
-            hbv, paths, reads, run_pathfinder=path_finder
+            hbv, paths, get_reads(), run_pathfinder=path_finder,
+            dump_pf=out_dir if dump_pf else None,
         )
         lines, stats = step6_simplify.contig_outputs(
             hbv, paths, out_dir, prefix="a"
         )
         hbv.save(f"{p}.contig.hbv.npz")
         paths.save(f"{p}.contig.paths.npz")
+        # fork-classification log line (w2rap-contigger.cc:556)
+        from ..paths.pathfinder import PathFinder
+
+        PathFinder(hbv, paths).classify_forks(log=True)
         perf.checkpoint("Simplify")
     elif from_step == 7:
         hbv = HyperBasevector.load(f"{p}.contig.hbv.npz")

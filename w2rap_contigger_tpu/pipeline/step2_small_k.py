@@ -22,9 +22,19 @@ def build_read_q_graph(
     k: int = SMALL_K,
     workdir: str | None = None,
     chunk_reads: int = 65536,
+    disk_batches: int = 0,
+    tmp_dir: str | None = None,
+    max_mem_gb: int = 10000,
 ):
-    """Returns (hbv, paths, dict) — graph, read paths, kmer dictionary."""
-    d, hist = ke.count_kmers(
+    """Returns (hbv, paths, dict) — graph, read paths, kmer dictionary.
+
+    disk_batches > 1 splits the canonical kmer space into hash ranges
+    counted in separate passes with per-range spill (the reference's -d
+    createDictOMPDiskBased, BuildReadQGraph.cc:1120-1250); max_mem_gb is
+    the SetMaxMemory analogue (System.cc:1027): when the estimated
+    counting working set exceeds it, batching kicks in automatically.
+    """
+    d, hist = ke.count_kmers_batched(
         reads.bases,
         reads.lengths,
         reads.quals,
@@ -32,6 +42,9 @@ def build_read_q_graph(
         min_qual=min_qual,
         min_freq=min_freq,
         chunk_reads=chunk_reads,
+        disk_batches=disk_batches,
+        tmp_dir=tmp_dir,
+        max_mem_gb=max_mem_gb,
     )
     if workdir:
         with open(f"{workdir}/small_K.freqs", "w") as f:

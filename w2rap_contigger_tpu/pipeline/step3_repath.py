@@ -23,8 +23,15 @@ from ..paths import flat_pather
 from ..paths.read_paths import ReadPathVec
 
 
-def repath(hbv, paths, k2: int):
-    """Returns (hbv2, paths2, dict2)."""
+def repath(hbv, paths, k2: int, extend_paths: bool = False):
+    """Returns (hbv2, paths2, dict2).
+
+    extend_paths mirrors the reference's EXTEND_PATHS branch
+    (Repath.cc:74-97): each unique place is extended by at most one
+    solo in-edge on the left and one solo out-edge on the right (the
+    reference loop re-tests the same vertex, so it never walks further),
+    and the extended copies join the place pool for the K2 graph.
+    """
     k = hbv.k
     inv = hbv.inv
     kmers = hbv.edge_kmers()
@@ -55,6 +62,29 @@ def repath(hbv, paths, k2: int):
             place_list.append(np.frombuffer(key, dtype=np.int32))
         place_idx[i] = j
         place_rc[i] = rc
+
+    if extend_paths and place_list:
+        fo, fe, to, te = hbv.vertex_csr()
+        seen = set(place_of_read.keys())
+        for si in range(len(place_list)):
+            pl = [int(x) for x in place_list[si]]
+            pset = set(pl)
+            v = int(hbv.to_left[pl[0]])
+            if to[v + 1] - to[v] == 1:
+                e = int(te[to[v]])
+                if e not in pset:
+                    pl.insert(0, e)
+                    pset.add(e)
+            w = int(hbv.to_right[pl[-1]])
+            if fo[w + 1] - fo[w] == 1:
+                e = int(fe[fo[w]])
+                if e not in pset:
+                    pl.append(e)
+            if len(pl) > len(place_list[si]):
+                key = np.asarray(pl, np.int32).tobytes()
+                if key not in seen:
+                    seen.add(key)
+                    place_list.append(np.asarray(pl, np.int32))
 
     S = len(place_list)
     if S == 0:

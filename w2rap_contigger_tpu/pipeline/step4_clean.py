@@ -20,13 +20,15 @@ import numpy as np
 from ..graph import ops
 from ..paths.read_paths import invert_paths
 
-MAX_EXTS = 10
-MAX_RL = 250
-MAX_DEL = 15
-MIN_WIN = 100
-MAX_LOSE = 50
-MIN_RATIO = 5
-NPASSES = 2
+from ..config import DEFAULT as _H
+
+MAX_EXTS = _H.CLEAN_MAX_EXTS
+MAX_RL = _H.CLEAN_MAX_RL
+MAX_DEL = _H.CLEAN_MAX_DEL
+MIN_WIN = _H.CLEAN_MIN_WIN
+MAX_LOSE = _H.CLEAN_MAX_LOSE
+MIN_RATIO = _H.CLEAN_MIN_RATIO
+NPASSES = _H.CLEAN_NPASSES
 
 
 def get_extensions(hbv, fo, fe, v, depth):

@@ -3,13 +3,11 @@
 Reference: Unsat (src/paths/long/large/Unsat.cc:124-382) — phase 1 of
 AssembleGaps2 (AssembleGaps.cc:237): find read pairs whose mates cannot
 be connected within depth 15 / 50 vertices, link their terminal edges,
-cluster links by radius-3 edge neighborhoods, and merge clusters over 10
-passes.  (The final sequence-overlap cluster-merge refinement,
-Unsat.cc:275-380, is staged with the rest of the local-assembly engine.)
-
-The local assembly per blob (CorrectionSuite + MakeLocalAssembly2 +
-BasesToGraph) and the global Patch/AddNewStuff rebuild are the round-2
-step-5 work; this module provides their input clustering.
+cluster links by radius-3 edge neighborhoods, merge clusters over 10
+passes, refine by two sequence-overlap merge passes (shared forward
+100-mers between cluster right-hand-side edges, Unsat.cc:275-355),
+partially symmetrize with the involution (Unsat.cc:358-365), and trim
+low-multiplicity links at ratio 10 (Unsat.cc:369-380).
 """
 
 from __future__ import annotations
@@ -18,11 +16,17 @@ from collections import defaultdict
 
 import numpy as np
 
-MAX_DEPTH = 15
-MAX_VERTS = 50
-RADIUS = 3
-MERGE_PASSES = 10
-MAX_CLUSTER = 20
+from ..config import DEFAULT as _H
+
+MAX_DEPTH = _H.UNSAT_MAX_DEPTH
+MAX_VERTS = _H.UNSAT_MAX_VERTS
+RADIUS = _H.UNSAT_RADIUS
+MERGE_PASSES = _H.UNSAT_MERGE_PASSES
+MAX_CLUSTER = _H.UNSAT_MAX_CLUSTER
+OVERLAP_PASSES = _H.UNSAT_OVERLAP_PASSES   # Unsat.cc:275 opass
+MAX_OVERLAP_RHS = _H.UNSAT_MAX_OVERLAP_RHS  # Unsat.cc:317 maxo
+OVERLAP_L = _H.UNSAT_OVERLAP_L              # Unsat.cc:325 kmer<L>
+CLUSTER_RATIO = _H.UNSAT_CLUSTER_RATIO      # Unsat.cc:369
 
 
 def _nhood(hbv, fo, fe, to, te, e, radius):
@@ -149,7 +153,79 @@ def unsat(hbv, paths):
         if len(cl) == 1 and mult[cl[0]] == 1:
             continue
         out.append(sorted(cl))
+
+    # ---- sequence-overlap merge passes (Unsat.cc:275-355) --------------
+    for _ in range(OVERLAP_PASSES):
+        out = _overlap_merge(out, hbv)
+        out = _merge_clusters(out, nhood_of)
+
+    # ---- partially symmetrize (Unsat.cc:358-365) ------------------------
+    nxs = len(out)
+    for i in range(nxs):
+        rd = sorted((int(inv[b]), int(inv[a])) for a, b in out[i])
+        out.append(rd)
+    out = _merge_clusters(out, nhood_of)
+
+    # ---- clean clusters: trim low-mult links (Unsat.cc:369-380) ---------
+    for i, d in enumerate(out):
+        m = [mult[link] for link in d]
+        order = sorted(range(len(d)), key=lambda j: (-m[j], d[j]))
+        d2 = [d[j] for j in order]
+        m2 = [m[j] for j in order]
+        for j in range(1, len(m2)):
+            if m2[0] >= 1 and m2[0] >= CLUSTER_RATIO * m2[j]:
+                d2 = d2[:j]
+                break
+        out[i] = d2
     return out, mult
+
+
+def _fwd_kmers(seq, L=OVERLAP_L):
+    """Set of forward L-mers of a code sequence (MakeKmerLookup3 uses
+    forward kmers, MakeKmerStuff.h:63-78)."""
+    seq = np.ascontiguousarray(seq, dtype=np.uint8)
+    if len(seq) < L:
+        return set()
+    w = np.lib.stride_tricks.sliding_window_view(seq, L)
+    return set(np.ascontiguousarray(w).view(f"V{L}").reshape(-1).tolist())
+
+
+def _overlap_merge(clusters, hbv):
+    """One opass of Unsat.cc:275-355: enlarge each cluster with clusters
+    that left-share an edge AND whose right-hand sides overlap (share a
+    forward 100-mer with) this cluster's right-hand sides."""
+    ind1 = defaultdict(set)
+    for i, cl in enumerate(clusters):
+        for a, _ in cl:
+            ind1[a].add(i)
+    out = [list(cl) for cl in clusters]
+    kmer_cache = {}
+
+    def kmers_of(e):
+        if e not in kmer_cache:
+            kmer_cache[e] = _fwd_kmers(hbv.edge_seq(e))
+        return kmer_cache[e]
+
+    for i, cl in enumerate(clusters):
+        s = sorted({b for _, b in cl})
+        m = sorted({j for a, _ in cl for j in ind1[a]})
+        r = sorted({b for j in m for _, b in clusters[j]} - set(s))
+        if not r or len(r) > MAX_OVERLAP_RHS:
+            continue
+        skm = set()
+        for e in s:
+            skm |= kmers_of(e)
+        touched = {e for e in r if skm & kmers_of(e)}
+        if not touched:
+            continue
+        grew = False
+        for j in m:
+            if any(b in touched for _, b in clusters[j]):
+                out[i].extend(clusters[j])
+                grew = True
+        if grew:
+            out[i] = sorted(set(out[i]))
+    return out
 
 
 def _merge_clusters(clusters, nhood_of):
@@ -258,13 +334,13 @@ def layout_reads(hbv, paths, read_lengths):
 # AssembleGaps2 (AssembleGaps.cc:237-481) — per-blob local reassembly
 # ---------------------------------------------------------------------------
 
-MAX_PROX_LEFT = 400
-MAX_PROX_RIGHT = 400
-PAIR_SAMPLE = 200
+MAX_PROX_LEFT = _H.MAX_PROX_LEFT
+MAX_PROX_RIGHT = _H.MAX_PROX_RIGHT
+PAIR_SAMPLE = _H.PAIR_SAMPLE
 # K2_FLOOR sequence (w2rap-contigger.cc:432: {0,100,128,144,172,200});
-# the working K2 is max(SelectK2(corrected), K2_FLOOR), floors snapped to
-# the engine's supported sizes
-K2_FLOOR_SEQUENCE = (0, 100, 132, 144, 172, 200)
+# the working K2 is max(SelectK2(corrected), K2_FLOOR)
+K2_FLOOR_SEQUENCE = _H.K2_FLOOR_SEQUENCE
+MAX_BPATHS = _H.MAX_BPATHS  # w2rap-contigger.cc:436
 
 # BigK::gK allowed K values (LargeKDispatcher.h:22-27) as used by
 # SelectK2 (LongProtoTools.cc:45: nearest allowed K to 0.22 * median
@@ -275,14 +351,16 @@ ALLOWED_K = (
     320, 368, 400, 440, 460, 500, 544, 640, 720, 800, 880, 960, 1000,
     1200, 1600, 2000, 10000,
 )
-K2FRAC = 0.22
+K2FRAC = _H.K2FRAC
 
 
 def snap_engine_k(k):
-    """The kmer engine's sentinel layout needs k % 16 != 0 (an all-T
-    kmer would collide with the all-ones invalid-row marker); shift to
-    the next odd-word size."""
-    return k + 4 if k % 16 == 0 else k
+    """Historical shim — the all-ones sentinel row can never equal a
+    CANONICAL kmer even when k % 16 == 0 (the only all-ones kmer is
+    poly-T, whose canonical form is poly-A), and every dictionary/lookup
+    in the engine is canonical, so all reference K values are supported
+    directly."""
+    return k
 
 
 def select_k2(corrected_lens):
@@ -435,7 +513,7 @@ def _edges_with_shared_kmers(d, hbv_local, fx, rx, root_seqs, k2):
 
 
 def assemble_gaps2(hbv, paths, reads, pair_sample=PAIR_SAMPLE,
-                   max_bpaths=2000, verbose=False):
+                   max_bpaths=MAX_BPATHS, verbose=False):
     """Per-blob local reassembly; returns new_stuff (list of uint8 seqs).
 
     Follows AssembleGaps2 (AssembleGaps.cc:237-481): per blob, the full

@@ -18,7 +18,9 @@ import numpy as np
 
 from ..graph import gfa, lines as lines_mod, ops
 
-MIN_MULT = 10  # Simplify.cc:44
+from ..config import DEFAULT as _H
+
+MIN_MULT = _H.MIN_MULT  # Simplify.cc:44
 
 
 def remove_unsupported_edges(hbv, paths, max_supp_del: int = 0):
@@ -83,7 +85,8 @@ def remove_unsupported_edges(hbv, paths, max_supp_del: int = 0):
 
 def simplify(hbv, paths, reads=None, max_supp_del: int = 0, max_del2: int = 200,
              run_pathfinder: bool = False, tamp_early: bool = True,
-             improve: bool = True, ext_final_pass: bool = True):
+             improve: bool = True, ext_final_pass: bool = True,
+             dump_pf: str | None = None):
     """The full Simplify pass sequence (Simplify.cc:22-244), with the
     driver's defaults (w2rap-contigger.cc:477-494): TAMP_EARLY,
     IMPROVE_PATHS, EXT_FINAL(mode 1, min_gain 20), DEGLOOP(1, 2.5),
@@ -133,15 +136,27 @@ def simplify(hbv, paths, reads=None, max_supp_del: int = 0, max_del2: int = 200,
     if run_pathfinder:
         from ..paths.pathfinder import PathFinder
 
+        # --dump_pf: PathFinder-stage checkpoints for --dev_run_test
+        # replay (Simplify.cc:157-191: pf_start / pf_unrolled_loops /
+        # pf_end graph+paths dumps)
+        if dump_pf:
+            hbv.save(f"{dump_pf}/pf_start.hbv.npz")
+            paths.save(f"{dump_pf}/pf_start.paths.npz")
         pf = PathFinder(hbv, paths)
         pf.unroll_loops(800)
         hbv, paths = cleanup(pf.hbv, pf.paths)
+        if dump_pf:
+            hbv.save(f"{dump_pf}/pf_unrolled_loops.hbv.npz")
+            paths.save(f"{dump_pf}/pf_unrolled_loops.paths.npz")
         pf = PathFinder(hbv, paths)
         pf.untangle_complex_in_out_choices(700)
         hbv, paths = cleanup(pf.hbv, pf.paths)
         from ..graph.branches import _truncate_nonwalks
 
         paths = _truncate_nonwalks(hbv, paths)
+        if dump_pf:
+            hbv.save(f"{dump_pf}/pf_end.hbv.npz")
+            paths.save(f"{dump_pf}/pf_end.paths.npz")
 
     if improve and reads is not None:
         from ..paths.improve import improve_paths

@@ -18,12 +18,14 @@ from ..graph import ops
 from ..graph.lines import get_line_lengths
 from ..paths.read_paths import ReadPathVec
 
-MAX_HANG = 800
-MAX_DEPTH = 2
-MAX_INT = 1500
-PASSES = 3
-MAX_COV_PC_OFF = 20.0
-MAX_LINE_TO_IGNORE = 500
+from ..config import DEFAULT as _H
+
+MAX_HANG = _H.GAP_MAX_HANG
+MAX_DEPTH = _H.GAP_MAX_DEPTH
+MAX_INT = _H.GAP_MAX_INT
+PASSES = _H.GAP_PASSES
+MAX_COV_PC_OFF = _H.GAP_MAX_COV_PC_OFF
+MAX_LINE_TO_IGNORE = _H.GAP_MAX_LINE_TO_IGNORE
 
 
 def _line_npairs(hbv, paths, lines, tol):
