@@ -57,7 +57,7 @@ print(f"collapse compile+first {time.time()-t0:.1f}s uniq={probe}", flush=True)
 @jax.jit
 def runc(salts):
     def body(acc, s):
-        o, c = pcol.collapse_compact(out[:W] + [out[W] ^ (s & 0)])
+        o, c = pcol.collapse_compact(out[:W] + [out[W] ^ (s << 16)])
         return acc + jnp.sum(c).astype(jnp.uint32) + jnp.sum(o[0][:: 1 << 15]).astype(jnp.uint32), None
     acc, _ = jax.lax.scan(body, jnp.uint32(0), salts)
     return acc
@@ -72,7 +72,7 @@ print(f"collapse: {dt*1e3:.1f} ms  {N/dt/1e6:.1f} Melem/s", flush=True)
 @jax.jit
 def runf(salts):
     def body(acc, s):
-        sp = jax.lax.sort([ops[0] ^ (s & 0)] + ops[1:], num_keys=W)
+        sp = jax.lax.sort([ops[0] ^ s] + ops[1:], num_keys=W)
         o, c = pcol.collapse_compact(list(sp))
         return acc + jnp.sum(c).astype(jnp.uint32) + jnp.sum(o[0][:: 1 << 15]).astype(jnp.uint32), None
     acc, _ = jax.lax.scan(body, jnp.uint32(0), salts)
@@ -83,6 +83,22 @@ t0 = time.time()
 _ = int(runf(salts))
 dt = (time.time() - t0) / 4
 print(f"lax.sort+collapse: {dt*1e3:.1f} ms  {N/dt/1e6:.1f} Melem/s", flush=True)
+
+# fused: pallas bitonic sort + pallas collapse
+@jax.jit
+def runpf(salts):
+    def body(acc, s):
+        sp = psrt.bitonic_sort([ops[0] ^ s] + ops[1:], num_keys=W, tile_rows=TR)
+        o, c = pcol.collapse_compact(list(sp))
+        return acc + jnp.sum(c).astype(jnp.uint32) + jnp.sum(o[0][:: 1 << 15]).astype(jnp.uint32), None
+    acc, _ = jax.lax.scan(body, jnp.uint32(0), salts)
+    return acc
+
+_ = int(runpf(salts))
+t0 = time.time()
+_ = int(runpf(salts))
+dt = (time.time() - t0) / 4
+print(f"pallas.sort+collapse: {dt*1e3:.1f} ms  {N/dt/1e6:.1f} Melem/s", flush=True)
 
 # collapse correctness on real sorted data
 op2, counts2 = pcol.collapse_compact(out)

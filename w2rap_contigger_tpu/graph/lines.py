@@ -54,8 +54,10 @@ def find_some_cells(hbv, max_cell_size: int, max_depth: int):
         no = len(ov)
         down = []
         for j in range(no):
-            lst = [int(to_right[ov[j]])]
+            start_v = int(to_right[ov[j]])
+            lst = [start_v]
             dep = [0]
+            pos = {start_v: 0}  # O(1) membership (was list.index)
             i = 0
             while i < len(lst):
                 if dep[i] == max_depth:
@@ -63,11 +65,12 @@ def find_some_cells(hbv, max_cell_size: int, max_depth: int):
                     continue
                 for e2 in outs(lst[i]):
                     w2 = int(to_right[e2])
-                    if w2 in lst:
-                        p = lst.index(w2)
+                    p = pos.get(w2)
+                    if p is not None:
                         if dep[p] > dep[i] + 1:
                             dep[p] = dep[i] + 1
                     else:
+                        pos[w2] = len(lst)
                         lst.append(w2)
                         dep.append(dep[i] + 1)
                 i += 1
@@ -83,6 +86,7 @@ def find_some_cells(hbv, max_cell_size: int, max_depth: int):
         xs, ex2 = [], []
         for w in ex:
             x = [v]
+            xset = {v}
             bad = False
             j = 0
             while j < len(x):
@@ -95,8 +99,9 @@ def find_some_cells(hbv, max_cell_size: int, max_depth: int):
                         if t == v:
                             bad = True
                             break
-                        if t not in x:
+                        if t not in xset:
                             x.append(t)
+                            xset.add(t)
                     if bad:
                         break
                 if x[j] != v:
@@ -105,8 +110,9 @@ def find_some_cells(hbv, max_cell_size: int, max_depth: int):
                         if t == w:
                             bad = True
                             break
-                        if t not in x:
+                        if t not in xset:
                             x.append(t)
+                            xset.add(t)
                     if bad:
                         break
                 j += 1

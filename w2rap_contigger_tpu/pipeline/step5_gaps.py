@@ -48,33 +48,56 @@ def _nhood(hbv, fo, fe, to, te, e, radius):
 def unsat(hbv, paths):
     """Returns list of clusters; cluster = sorted list of (e1, e2) link
     pairs (left terminal edge, right terminal edge)."""
-    inv = hbv.inv
+    inv = np.asarray(hbv.inv)
     fo, fe, to, te = hbv.vertex_csr()
     E = hbv.n_edges
     npids = paths.n_reads // 2
 
-    # ---- phase 1: unsatisfied pairs ----------------------------------
-    unsat_pairs = []
-    for pid in range(npids):
-        p1 = [int(x) for x in paths.path(2 * pid)]
-        p2 = [int(x) for x in paths.path(2 * pid + 1)]
-        if not p1 or not p2:
-            continue
-        x1 = p1
-        x2 = [int(inv[e]) for e in p2[::-1]]
-        if set(x1) & set(x2):
-            continue
-        v = int(hbv.to_right[x1[-1]])
-        w = int(hbv.to_left[x2[0]])
-        if v == w:
-            continue
+    # ---- phase 1: unsatisfied pairs (vectorized pre-filters + cached
+    # per-(v,w) BFS; reference walks every pair, Unsat.cc:148-186) -----
+    off = np.asarray(paths.offsets)
+    pedges = np.asarray(paths.edges)
+    lens = np.diff(off)
+    l1 = lens[0 : 2 * npids : 2]
+    l2 = lens[1 : 2 * npids : 2]
+    nonempty = (l1 > 0) & (l2 > 0)
+
+    # Meet2(x1, x2): any shared edge between p1 and inv[p2] — one flat
+    # key join over all pairs at once
+    slot_read = np.repeat(np.arange(2 * npids), lens[: 2 * npids])
+    is2 = (slot_read & 1) == 1
+    pe_slice = pedges[: off[2 * npids]]
+    evals = np.where(is2, inv[pe_slice], pe_slice).astype(np.int64)
+    key = (slot_read // 2) * np.int64(E) + evals
+    meet_keys = np.intersect1d(key[~is2], key[is2])
+    meet = np.zeros(npids, dtype=bool)
+    meet[(meet_keys // E).astype(np.int64)] = True
+
+    last1 = np.where(
+        nonempty, pedges[np.maximum(off[1 : 2 * npids : 2] - 1, 0)], 0
+    )
+    last2 = np.where(
+        nonempty, pedges[np.maximum(off[2 : 2 * npids + 1 : 2] - 1, 0)], 0
+    )
+    v_arr = np.asarray(hbv.to_right)[last1]
+    w_arr = np.asarray(hbv.to_left)[inv[last2]]
+    cand = nonempty & ~meet & (v_arr != w_arr)
+
+    to_right = np.asarray(hbv.to_right)
+    bfs_cache: dict = {}
+
+    def _satisfiable(v, w):
+        key_ = (v, w)
+        hit = bfs_cache.get(key_)
+        if hit is not None:
+            return hit
         sat = False
         s = [v]
         for _ in range(MAX_DEPTH):
             s2 = []
             for x in s:
                 for e in fe[fo[x] : fo[x + 1]]:
-                    y = int(hbv.to_right[e])
+                    y = int(to_right[e])
                     if y == w:
                         sat = True
                         break
@@ -84,8 +107,14 @@ def unsat(hbv, paths):
             if sat or len(s2) > MAX_VERTS:
                 break
             s = s2
-        if not sat:
-            unsat_pairs.append(pid)
+        bfs_cache[key_] = sat
+        return sat
+
+    unsat_pairs = [
+        int(pid)
+        for pid in np.flatnonzero(cand)
+        if not _satisfiable(int(v_arr[pid]), int(w_arr[pid]))
+    ]
 
     # ---- links + multiplicities --------------------------------------
     unsats = defaultdict(list)  # left edge -> [(right edge, pid)]
@@ -293,41 +322,83 @@ def condense_lr(clusters, inv):
     return out
 
 
+class EdgeLayout:
+    """CSR view of per-edge read layouts; layout[e] -> sorted list of
+    (pos, read_id, fwd?) tuples (the LayoutReads output shape)."""
+
+    def __init__(self, n_edges, edge_ids, pos, rid, fwd):
+        order = np.lexsort((fwd, rid, pos, edge_ids))
+        self.pos = pos[order]
+        self.rid = rid[order]
+        self.fwd = fwd[order]
+        e_sorted = edge_ids[order]
+        self.offsets = np.zeros(n_edges + 1, dtype=np.int64)
+        np.add.at(self.offsets, e_sorted + 1, 1)
+        np.cumsum(self.offsets, out=self.offsets)
+
+    def __getitem__(self, e):
+        lo, hi = self.offsets[e], self.offsets[e + 1]
+        return list(
+            zip(
+                self.pos[lo:hi].tolist(),
+                self.rid[lo:hi].tolist(),
+                self.fwd[lo:hi].tolist(),
+            )
+        )
+
+
 def layout_reads(hbv, paths, read_lengths):
     """LayoutReads (GapToyTools2.cc:550): per edge, the (pos, read id,
     orientation) layout of reads whose path starts or ends there (both
     orientations), sorted by position.  Feeds FindPidsST's local read
     selection in AssembleGaps2.
+
+    Vectorized: only a path's first and last edges receive entries (the
+    reference skips interior edges), so every entry is a flat gather —
+    no per-read Python loop.
     """
     E = hbv.n_edges
-    inv = hbv.inv
-    kmers = hbv.edge_kmers()
-    elen = hbv.edge_len()
-    layout = [[] for _ in range(E)]  # (pos, read_id, fwd?)
-    for i in range(paths.n_reads):
-        x = [int(e) for e in paths.path(i)]
-        if not x:
-            continue
-        pos = int(paths.start[i])
-        for j, e in enumerate(x):
-            if 0 < j < len(x) - 1:
-                pos -= int(kmers[e])
-                continue
-            layout[e].append((pos, i, True))
-            pos -= int(kmers[e])
-        xr = [int(inv[e]) for e in x[::-1]]
-        pos = int(paths.start[i]) + int(read_lengths[i])
-        ln = int(elen[xr[0]]) + int(np.sum(kmers[xr[1:]]))
-        pos = ln - pos
-        for j, e in enumerate(xr):
-            if 0 < j < len(xr) - 1:
-                pos -= int(kmers[e])
-                continue
-            layout[e].append((pos, i, False))
-            pos -= int(kmers[e])
-    for e in range(E):
-        layout[e].sort()
-    return layout
+    inv = np.asarray(hbv.inv)
+    kmers = np.asarray(hbv.edge_kmers())
+    elen = np.asarray(hbv.edge_len())
+    off = np.asarray(paths.offsets)
+    pedges = np.asarray(paths.edges)
+    start = np.asarray(paths.start)
+    rl = np.asarray(read_lengths)
+    lens = np.diff(off)
+    has = np.flatnonzero(lens > 0)
+    multi = lens[has] > 1
+
+    first_e = pedges[off[:-1][has]]
+    last_e = pedges[off[1:][has] - 1]
+    km_cs = np.zeros(len(pedges) + 1, dtype=np.int64)
+    np.cumsum(kmers[pedges], out=km_cs[1:])
+    # sum of kmers over all path edges except the last
+    sum_excl_last = km_cs[off[1:][has] - 1] - km_cs[off[:-1][has]]
+    # sum over all except the first
+    sum_excl_first = km_cs[off[1:][has]] - km_cs[off[:-1][has] + 1]
+
+    s_i = start[has].astype(np.int64)
+    # forward: j=0 at first edge (pos=start); j=m-1 at last edge
+    fwd_e = [first_e, last_e[multi]]
+    fwd_p = [s_i, (s_i - sum_excl_last)[multi]]
+    fwd_r = [has, has[multi]]
+    # rc: xr[0]=inv[last], pos0 = ln - (start+rl), ln = elen[last]+sum_excl_last
+    pos0_rc = elen[last_e] + sum_excl_last - (s_i + rl[has])
+    rc_e = [inv[last_e], inv[first_e][multi]]
+    rc_p = [pos0_rc, (pos0_rc - sum_excl_first)[multi]]
+    rc_r = [has, has[multi]]
+
+    edge_ids = np.concatenate(fwd_e + rc_e).astype(np.int64)
+    pos = np.concatenate(fwd_p + rc_p).astype(np.int64)
+    rid = np.concatenate(fwd_r + rc_r).astype(np.int64)
+    fwd = np.concatenate(
+        [
+            np.ones(len(fwd_e[0]) + len(fwd_e[1]), dtype=bool),
+            np.zeros(len(rc_e[0]) + len(rc_e[1]), dtype=bool),
+        ]
+    )
+    return EdgeLayout(E, edge_ids, pos, rid, fwd)
 
 
 # ---------------------------------------------------------------------------
