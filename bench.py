@@ -91,7 +91,7 @@ def main():
             sp = psrt.bitonic_sort(planes, num_keys=W)
         else:
             sp = list(jax.lax.sort(planes, num_keys=W))
-        out_planes, counts = pcol.collapse_compact(sp)
+        out_planes, counts, _lb = pcol.collapse_compact(sp)
         probe = (
             jnp.sum(counts).astype(jnp.uint32)
             + jnp.sum(out_planes[0][:: 1 << 15])

@@ -78,7 +78,7 @@ sorted_planes = psrt.bitonic_sort(pw + [pc], num_keys=W)
 
 def pcoll_body(s, tile_rows):
     ops = sorted_planes[:W] + [sorted_planes[W] ^ (s & 0)]
-    out_planes, counts = pcol.collapse_compact(ops, tile_rows=tile_rows)
+    out_planes, counts, _lb = pcol.collapse_compact(ops, tile_rows=tile_rows)
     return probe(out_planes[:1]) + jnp.sum(counts).astype(jnp.uint32) + s * 0
 
 
@@ -97,7 +97,7 @@ def full_body(s):
               for j in range(W)]
     planes.append(jnp.concatenate([pay, jnp.zeros(NP2 - M, jnp.uint32)]))
     sp = psrt.bitonic_sort(planes, num_keys=W)
-    op, cnts = pcol.collapse_compact(sp)
+    op, cnts, _ = pcol.collapse_compact(sp)
     return probe(op[:1]) + jnp.sum(cnts).astype(jnp.uint32)
 
 bench_scan(full_body, "kmerize+sort+collapse", M)

@@ -50,14 +50,14 @@ print("matches lax.sort", flush=True)
 
 # collapse
 t0 = time.time()
-op2, counts = pcol.collapse_compact(out)
+op2, counts, _ = pcol.collapse_compact(out)
 probe = int(jnp.sum(counts))
 print(f"collapse compile+first {time.time()-t0:.1f}s uniq={probe}", flush=True)
 
 @jax.jit
 def runc(salts):
     def body(acc, s):
-        o, c = pcol.collapse_compact(out[:W] + [out[W] ^ (s << 16)])
+        o, c, _ = pcol.collapse_compact(out[:W] + [out[W] ^ (s << 16)])
         return acc + jnp.sum(c).astype(jnp.uint32) + jnp.sum(o[0][:: 1 << 15]).astype(jnp.uint32), None
     acc, _ = jax.lax.scan(body, jnp.uint32(0), salts)
     return acc
@@ -73,7 +73,7 @@ print(f"collapse: {dt*1e3:.1f} ms  {N/dt/1e6:.1f} Melem/s", flush=True)
 def runf(salts):
     def body(acc, s):
         sp = jax.lax.sort([ops[0] ^ s] + ops[1:], num_keys=W)
-        o, c = pcol.collapse_compact(list(sp))
+        o, c, _ = pcol.collapse_compact(list(sp))
         return acc + jnp.sum(c).astype(jnp.uint32) + jnp.sum(o[0][:: 1 << 15]).astype(jnp.uint32), None
     acc, _ = jax.lax.scan(body, jnp.uint32(0), salts)
     return acc
@@ -89,7 +89,7 @@ print(f"lax.sort+collapse: {dt*1e3:.1f} ms  {N/dt/1e6:.1f} Melem/s", flush=True)
 def runpf(salts):
     def body(acc, s):
         sp = psrt.bitonic_sort([ops[0] ^ s] + ops[1:], num_keys=W, tile_rows=TR)
-        o, c = pcol.collapse_compact(list(sp))
+        o, c, _ = pcol.collapse_compact(list(sp))
         return acc + jnp.sum(c).astype(jnp.uint32) + jnp.sum(o[0][:: 1 << 15]).astype(jnp.uint32), None
     acc, _ = jax.lax.scan(body, jnp.uint32(0), salts)
     return acc
@@ -101,7 +101,7 @@ dt = (time.time() - t0) / 4
 print(f"pallas.sort+collapse: {dt*1e3:.1f} ms  {N/dt/1e6:.1f} Melem/s", flush=True)
 
 # collapse correctness on real sorted data
-op2, counts2 = pcol.collapse_compact(out)
+op2, counts2, _ = pcol.collapse_compact(out)
 from w2rap_contigger_tpu.ops import pallas_collapse as pc2
 got_w, got_ctx, got_cnt = pc2.gather_unique(op2, counts2)
 print(f"uniques: {got_w.shape[0]}", flush=True)

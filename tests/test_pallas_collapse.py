@@ -54,7 +54,7 @@ def test_collapse_compact(n, n_valid, tile_rows, key_range):
     W = 3
     words, payload = _make_sorted(rng, n, n_valid, W, key_range)
     planes = [jnp.asarray(words[:, j]) for j in range(W)] + [jnp.asarray(payload)]
-    out_planes, counts = pc.collapse_compact(planes, tile_rows=tile_rows, interpret=True)
+    out_planes, counts, _lb = pc.collapse_compact(planes, tile_rows=tile_rows, interpret=True)
     got_w, got_ctx, got_cnt = pc.gather_unique(out_planes, counts)
     ref_w, ref_ctx, ref_cnt = _ref_collapse(words, payload)
     np.testing.assert_array_equal(got_w, ref_w)
@@ -79,7 +79,7 @@ def test_collapse_merged_counts():
     sent = np.all(words == FULL, axis=1)
     payload[sent] = 0
     planes = [jnp.asarray(words[:, j]) for j in range(W)] + [jnp.asarray(payload)]
-    out_planes, counts = pc.collapse_compact(planes, tile_rows=1, interpret=True)
+    out_planes, counts, _lb = pc.collapse_compact(planes, tile_rows=1, interpret=True)
     got_w, got_ctx, got_cnt = pc.gather_unique(out_planes, counts)
     ref_w, ref_ctx, ref_cnt = _ref_collapse(words, payload)
     np.testing.assert_array_equal(got_w, ref_w)

@@ -714,19 +714,25 @@ def count_kmers_device(
         )
     else:
         sorted_planes = list(jax.lax.sort(planes, num_keys=W))
-    out_planes, counts = pcol.collapse_compact(sorted_planes, interpret=interpret)
+    # the min_freq filter runs on device so only the surviving dictionary
+    # is downloaded; the filtered-out kmers' histogram bins (1..min_freq-1)
+    # come back in the kernel's per-tile stats block
+    out_planes, counts, low_bins = pcol.collapse_compact(
+        sorted_planes, interpret=interpret, min_count=min_freq
+    )
     words_h, ctx_h, cnt_h = pcol.gather_unique(out_planes, counts)
 
     hist = np.zeros(101, dtype=np.int64)
     if cnt_h.size:
         np.add.at(hist, np.minimum(cnt_h, 100), 1)
+    lb = np.asarray(low_bins)
+    hist[1 : min(min_freq, 101)] = lb[1 : min(min_freq, 101)]
     hist[0] = 0
 
-    keep = cnt_h >= min_freq
     d = KmerDict(
-        words_h[keep],
-        cnt_h[keep].astype(np.int32),
-        ctx_h[keep].astype(np.uint32),
+        words_h,
+        cnt_h.astype(np.int32),
+        ctx_h.astype(np.uint32),
         k,
     )
     return d, hist

@@ -80,7 +80,7 @@ def _shift_back(x, step, tile_rows, fill):
     return jnp.where(e + step < T, v, fill)
 
 
-def _collapse_kernel(num_words, tile_rows, *refs):
+def _collapse_kernel(num_words, tile_rows, min_count, *refs):
     W = num_words
     in_refs = refs[: W + 1]
     out_words = refs[W + 1 : 2 * W + 1]
@@ -135,7 +135,15 @@ def _collapse_kernel(num_words, tile_rows, *refs):
     sent = prev[0] == FULL
     for j in range(1, W):
         sent = sent & (prev[j] == FULL)
-    keep = is_start & (~sent).astype(jnp.uint32)  # u32 0/1
+    keep0 = is_start & (~sent).astype(jnp.uint32)  # u32 0/1, pre-filter
+    keep = keep0
+    if min_count > 1:
+        # device-side min_freq filter (reference root filter,
+        # BuildReadQGraph.cc:1095): only kmers meeting the count
+        # threshold are kept for download
+        keep = keep0 & (
+            (scanned_prev & 0xFF) >= np.uint32(min_count)
+        ).astype(jnp.uint32)
 
     # update carries for the next tile (last element of this tile)
     for j in range(W):
@@ -171,18 +179,30 @@ def _collapse_kernel(num_words, tile_rows, *refs):
     for j in range(W):
         out_words[j][:] = jnp.where(alive_b, ops[j], FULL)
     out_payload[:] = jnp.where(alive_b, ops[W], jnp.uint32(0))
-    # per-tile kept count, broadcast over an (8, 128) VMEM block (Mosaic
-    # requires the sublane dim divisible by 8; unsigned reductions are
-    # unimplemented, so reduce in int32)
-    out_count[:, :] = jnp.full(
-        (8, LANES), jnp.sum(keep.astype(jnp.int32)), dtype=jnp.int32
-    )
+    # per-tile stats block (8, 128) int32 (Mosaic requires the sublane
+    # dim divisible by 8; unsigned reductions are unimplemented, so all
+    # reductions run in int32): row 0 = kept count; row 1 lanes
+    # 1..min_count-1 = counts of segments dropped by the min_count
+    # filter at each total (the histogram's low bins).
+    stats = jnp.full((8, LANES), jnp.sum(keep.astype(jnp.int32)),
+                     dtype=jnp.int32)
+    if min_count > 1:
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+        row8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+        low = jnp.zeros((8, LANES), dtype=jnp.int32)
+        segc = scanned_prev & 0xFF
+        for b_ in range(1, min_count):
+            nb = jnp.sum((keep0 & (segc == b_).astype(jnp.uint32))
+                         .astype(jnp.int32))
+            low = low + jnp.where((row8 == 1) & (lane8 == b_), nb, 0)
+        stats = jnp.where(row8 == 1, low, stats)
+    out_count[:, :] = stats
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_rows", "interpret")
+    jax.jit, static_argnames=("tile_rows", "min_count", "interpret")
 )
-def _collapse_planes(planes, tile_rows, interpret):
+def _collapse_planes(planes, tile_rows, min_count, interpret):
     W = len(planes) - 1
     rows = planes[0].shape[0]
     grid = (rows // tile_rows,)
@@ -196,7 +216,7 @@ def _collapse_planes(planes, tile_rows, interpret):
         jax.ShapeDtypeStruct((rows, LANES), jnp.uint32) for _ in range(W + 1)
     ) + (jax.ShapeDtypeStruct((grid[0] * 8, LANES), jnp.int32),)
     outs = pl.pallas_call(
-        functools.partial(_collapse_kernel, W, tile_rows),
+        functools.partial(_collapse_kernel, W, tile_rows, min_count),
         grid=grid,
         in_specs=[spec] * (W + 1),
         out_specs=(spec,) * (W + 1) + (cnt_spec,),
@@ -207,12 +227,14 @@ def _collapse_planes(planes, tile_rows, interpret):
     return outs
 
 
-def collapse_compact(operands, tile_rows=None, interpret=False):
+def collapse_compact(operands, tile_rows=None, interpret=False, min_count=1):
     """Collapse a SORTED stream of (W key words, payload) flat u32 arrays.
 
     payload packs (ctx << 8) | count (count saturates at 255).  Returns
     (out_planes list of W+1 flat arrays with each tile's kept elements
     compacted to the tile front, tile_counts (n_tiles,) int32).
+    min_count > 1 drops kmers below the count threshold on device (the
+    histogram's low bins must then be recovered separately).
     """
     n = operands[0].shape[0]
     assert n % LANES == 0
@@ -222,11 +244,12 @@ def collapse_compact(operands, tile_rows=None, interpret=False):
     tile_rows = min(tile_rows, rows)
     assert rows % tile_rows == 0
     planes = tuple(x.reshape(rows, LANES) for x in operands)
-    outs = _collapse_planes(planes, tile_rows, interpret)
+    outs = _collapse_planes(planes, tile_rows, min_count, interpret)
     W = len(operands) - 1
     out_planes = [o.reshape(n) for o in outs[: W + 1]]
     counts = outs[W + 1][::8, 0]
-    return out_planes, counts
+    low_bins = jnp.sum(outs[W + 1][1::8, :], axis=0)  # (LANES,) int32
+    return out_planes, counts, low_bins
 
 
 def gather_unique(out_planes, counts, tile_rows=None):
