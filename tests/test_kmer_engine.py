@@ -207,3 +207,20 @@ def test_count_kmers_parity_k_mult16(rng, k):
     for i, key in enumerate(got_keys):
         assert int(d.counts[i]) == expect[key][0]
         assert int(d.ctx[i]) == expect[key][1]
+
+
+def test_count_kmers_flat_device_parity(rng):
+    """Flat counting via the device pipeline (interpret) == host path."""
+    k = 31
+    seqs = [rng.integers(0, 4, size=int(n)).astype(np.uint8)
+            for n in rng.integers(20, 200, size=25)]
+    seg = np.zeros(len(seqs) + 1, dtype=np.int64)
+    seg[1:] = np.cumsum([len(s) for s in seqs])
+    flat = np.concatenate(seqs)
+    d_host = ke.count_kmers_flat(flat, seg, k, min_freq=2, chunk_pos=512,
+                                 device_pipeline=False)
+    d_dev = ke.count_kmers_flat(flat, seg, k, min_freq=2, chunk_pos=512,
+                                interpret=True)
+    np.testing.assert_array_equal(d_dev.words, d_host.words)
+    np.testing.assert_array_equal(d_dev.counts, d_host.counts)
+    np.testing.assert_array_equal(d_dev.ctx, d_host.ctx)

@@ -20,6 +20,10 @@ MAX_QSUM = 100
 
 def _cat(hbv, edge_list):
     k = hbv.k
+    if len(edge_list) == 1:
+        # read-only use downstream: a view avoids copying what can be a
+        # multi-megabase edge once per read
+        return hbv.edge_seq(int(edge_list[0]))
     b = hbv.edge_seq(int(edge_list[0])).copy()
     for e in edge_list[1:]:
         b = np.concatenate([b, hbv.edge_seq(int(e))[k - 1 :]])
@@ -27,21 +31,49 @@ def _cat(hbv, edge_list):
 
 
 def reroute_paths(hbv, paths, reads):
-    """Returns updated ReadPathVec (same structure, improved placements)."""
+    """Returns updated ReadPathVec (same structure, improved placements).
+
+    Vectorized prefilter: a fully-placed single-edge read whose edge has
+    no in-edges on the left vertex and no out-edges on the right vertex
+    can gain no alternative placement, so the per-read search loop only
+    visits reads where rerouting is possible (on a well-assembled genome
+    that excludes nearly everything).
+    """
     from ..paths.read_paths import ReadPathVec
 
-    kmers = hbv.edge_kmers()
-    elens = hbv.edge_len()
+    kmers = np.asarray(hbv.edge_kmers())
+    elens = np.asarray(hbv.edge_len())
     fo, fe, to, te = hbv.vertex_csr()
     to_left, to_right = hbv.to_left, hbv.to_right
+    in_deg = np.diff(to)
+    out_deg = np.diff(fo)
 
-    new_paths = []
+    off_arr = np.asarray(paths.offsets)
+    plens = np.diff(off_arr)
+    starts_arr = np.asarray(paths.start)
+    first_edge = np.where(
+        plens > 0, np.asarray(paths.edges)[np.minimum(off_arr[:-1],
+                                                      len(paths.edges) - 1)], 0
+    )
+    single = plens == 1
+    fits1 = single & (
+        starts_arr.astype(np.int64) + np.asarray(reads.lengths)
+        <= elens[first_edge]
+    ) & (starts_arr >= 0)
+    isolated = (
+        fits1
+        & (in_deg[np.asarray(to_left)[first_edge]] == 0)
+        & (out_deg[np.asarray(to_right)[first_edge]] == 0)
+    )
+    todo = np.flatnonzero((plens > 0) & ~isolated)
+
+    changed: dict[int, tuple] = {}
     new_starts = paths.start.astype(np.int64).copy()
     improveds = 0
-    for rid in range(paths.n_reads):
+    for rid in todo:
+        rid = int(rid)
         p = [int(x) for x in paths.path(rid)]
         off = int(paths.start[rid])
-        new_paths.append(p)
         if not p or off < 0:
             continue
         s = off
@@ -103,6 +135,9 @@ def reroute_paths(hbv, paths, reads):
         ps = [x for j, x in enumerate(ps) if j not in set(dels)]
         if not ps:
             continue
+        if len(ps) == 1 and ps[0][0] == p and ps[0][1] == off:
+            # only candidate is the current placement: nothing to score
+            continue
 
         rb = reads.bases[rid][:n]
         rq = reads.quals[rid][:n].astype(np.int64)
@@ -143,9 +178,37 @@ def reroute_paths(hbv, paths, reads):
         ]
         if ooo < scored[0][0]:
             continue
-        new_paths[rid] = scored[0][2]
+        changed[rid] = tuple(scored[0][2])
         new_starts[rid] = scored[0][3]
-    return ReadPathVec.from_lists(new_paths, new_starts.astype(np.int32)), improveds
+    if not changed:
+        return ReadPathVec(
+            paths.offsets.copy(), paths.edges.copy(),
+            new_starts.astype(np.int32),
+        ), improveds
+    # patch only the changed reads into fresh flat arrays
+    n = paths.n_reads
+    new_lens = plens.copy()
+    for rid, q in changed.items():
+        new_lens[rid] = len(q)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(new_lens, out=offsets[1:])
+    flat = np.zeros(int(offsets[-1]), dtype=np.int32)
+    unchanged = np.ones(n, dtype=bool)
+    for rid in changed:
+        unchanged[rid] = False
+    # bulk-copy unchanged reads' slices (vectorized ragged ranges)
+    sel = np.flatnonzero(unchanged & (plens > 0))
+    if sel.size:
+        l = plens[sel]
+        within = np.arange(int(l.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(l) - l, l
+        )
+        src_idx = np.repeat(off_arr[:-1][sel], l) + within
+        dst_idx = np.repeat(offsets[:-1][sel], l) + within
+        flat[dst_idx] = np.asarray(paths.edges)[src_idx]
+    for rid, q in changed.items():
+        flat[offsets[rid] : offsets[rid + 1]] = q
+    return ReadPathVec(offsets, flat, new_starts.astype(np.int32)), improveds
 
 
 def delete_funky_path_pairs(hbv, paths, reads):

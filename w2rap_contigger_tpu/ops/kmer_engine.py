@@ -526,6 +526,8 @@ def count_kmers_flat(
     min_freq: int = 1,
     chunk_pos: int | None = None,
     pad_quantum: int = PAD_QUANTUM,
+    device_pipeline: bool | None = None,
+    interpret: bool = False,
 ):
     """Count canonical kmers over concatenated sequences.
 
@@ -552,7 +554,13 @@ def count_kmers_flat(
     seg_end = seg_offsets[seg_of + 1]
     seg_start = seg_offsets[seg_of]
 
+    if device_pipeline is None:
+        device_pipeline = (not interpret) and jax.default_backend() == "tpu"
+
     runs = []
+    word_parts = [[] for _ in range(W)]
+    payload_parts = []
+    n_rows_total = 0
     halo = 16 * ((k + 15) // 16)
     for st in range(0, n_pos, chunk_pos):
         C = min(chunk_pos, n_pos - st)
@@ -576,6 +584,15 @@ def count_kmers_flat(
             jnp.asarray(sc),
             k,
         )
+        if device_pipeline or interpret:
+            payload = jnp.where(
+                cvalid, (cctx << np.uint32(8)) | np.uint32(1), 0
+            )
+            for j in range(W):
+                word_parts[j].append(cw[:, j])
+            payload_parts.append(payload)
+            n_rows_total += cw.shape[0]
+            continue
         ow, octx, ocnt, nu = sort_collapse_leaf(cw, cctx, W)
         nu = int(nu)
         runs.append(
@@ -583,6 +600,17 @@ def count_kmers_flat(
         )
         if os.environ.get("W2RAP_VERBOSE"):
             print(f"count_kmers_flat chunk @{st}: {nu} unique", flush=True)
+
+    if device_pipeline or interpret:
+        if n_rows_total == 0:
+            empty = np.zeros((0, W), dtype=np.uint32)
+            return KmerDict(
+                empty, np.zeros(0, np.int32), np.zeros(0, np.uint32), k
+            )
+        d, _hist = _device_count_epilogue(
+            word_parts, payload_parts, n_rows_total, W, k, min_freq, interpret
+        )
+        return d
 
     if not runs:
         empty = np.zeros((0, W), dtype=np.uint32)
@@ -690,9 +718,21 @@ def count_kmers_device(
             KmerDict(empty, np.zeros(0, np.int32), np.zeros(0, np.uint32), k),
             np.zeros(101, dtype=np.int64),
         )
+    return _device_count_epilogue(
+        word_parts, payload_parts, n_kmers_total, W, k, min_freq, interpret
+    )
 
-    n_pow2 = _next_pow2(n_kmers_total + 1)
-    n_pow2 = max(n_pow2, 128)
+
+def _device_count_epilogue(
+    word_parts, payload_parts, n_kmers_total, W, k, min_freq, interpret
+):
+    """Shared tail of the on-device counting pipelines: concatenate the
+    kmerized chunk planes, sort, collapse+compact with the min_freq
+    filter on device, download only the surviving dictionary."""
+    from . import pallas_collapse as pcol
+    from . import pallas_sort as psort
+
+    n_pow2 = max(_next_pow2(n_kmers_total + 1), 128)
 
     def _cat(parts, fill):
         flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
