@@ -66,8 +66,12 @@ def main():
 
     P16 = 16 * ((L - k + 1 + 15) // 16)
     M = n_reads * P16
-    NP2 = ke._next_pow2(M + 1)
     backend = os.environ.get("W2RAP_SORT", "lax")
+    if backend == "pallas":
+        NP2 = ke._next_pow2(M + 1)
+    else:
+        tile = pcol.DEFAULT_TILE_ROWS * 128
+        NP2 = ((M + 1 + tile - 1) // tile) * tile
 
     db = jnp.asarray(bases)
     dl = jnp.asarray(lengths)

@@ -670,12 +670,28 @@ def count_kmers_device(
     L = bases.shape[1]
     W = bk.nwords(k)
 
-    if _use_pallas_kmerize() and not interpret:
+    packed_upload = _use_pallas_kmerize() and not interpret
+    if packed_upload:
         from . import pallas_kmer as _pk
 
-        kmerize = functools.partial(_pk.kmerize_chunk_pallas, k=k, min_qual=min_qual)
+        def kmerize(cb, cl, cq):
+            # packed upload: 2-bit bases (4x) + 1-bit qual mask (8x)
+            # instead of byte codes — the host->device transfer is the
+            # e2e bottleneck on tunneled links
+            pr = _pk.pack_rows_host(cb)
+            mask = np.packbits(cq >= np.uint8(min_qual), axis=1,
+                               bitorder="little")
+            glen = _pk.good_lengths_mask(
+                jnp.asarray(mask), jnp.asarray(cl), k, L
+            )
+            return _pk.kmerize_packed_pallas(jnp.asarray(pr), glen, L, k)
+
     else:
-        kmerize = functools.partial(kmerize_chunk, k=k, min_qual=min_qual)
+        def kmerize(cb, cl, cq):
+            return kmerize_chunk(
+                jnp.asarray(cb), jnp.asarray(cl), jnp.asarray(cq),
+                k, min_qual,
+            )
 
     @functools.partial(jax.jit, static_argnames=())
     def _payload_mask(words, ctx):
@@ -705,7 +721,7 @@ def count_kmers_device(
             cb = np.concatenate([cb, np.zeros((padn, L), np.uint8)])
             cl = np.concatenate([cl, np.zeros(padn, np.int32)])
             cq = np.concatenate([cq, np.zeros((padn, L), np.uint8)])
-        words, ctx, _ = kmerize(jnp.asarray(cb), jnp.asarray(cl), jnp.asarray(cq))
+        words, ctx, _ = kmerize(cb, cl, cq)
         wout, payload = _payload_mask(words, ctx)
         for j in range(W):
             word_parts[j].append(wout[j])
@@ -732,22 +748,29 @@ def _device_count_epilogue(
     from . import pallas_collapse as pcol
     from . import pallas_sort as psort
 
-    n_pow2 = max(_next_pow2(n_kmers_total + 1), 128)
-
-    def _cat(parts, fill):
-        flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-        return jnp.concatenate(
-            [flat, jnp.full(n_pow2 - flat.shape[0], fill, dtype=jnp.uint32)]
-        )
-
-    planes = [_cat(word_parts[j], FULL) for j in range(W)]
-    planes.append(_cat(payload_parts, np.uint32(0)))
-
     # sort backend: XLA's TPU sort currently outruns the pallas bitonic
     # at production shapes (174 vs 69 Mrows/s); keep both wired and let
     # the env override flip them as the kernel improves.  interpret mode
     # always exercises the pallas network (test coverage).
     backend = os.environ.get("W2RAP_SORT", "lax")
+
+    if interpret or backend == "pallas":
+        # the bitonic network needs a power-of-two row count
+        n_pad = max(_next_pow2(n_kmers_total + 1), 128)
+    else:
+        # lax.sort takes any n; pad only to the collapse tile (+>=1
+        # sentinel so the shifted-by-one collapse never drops a segment)
+        tile = pcol.DEFAULT_TILE_ROWS * pcol.LANES
+        n_pad = max(tile, ((n_kmers_total + 1 + tile - 1) // tile) * tile)
+
+    def _cat(parts, fill):
+        flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        return jnp.concatenate(
+            [flat, jnp.full(n_pad - flat.shape[0], fill, dtype=jnp.uint32)]
+        )
+
+    planes = [_cat(word_parts[j], FULL) for j in range(W)]
+    planes.append(_cat(payload_parts, np.uint32(0)))
     if interpret or backend == "pallas":
         sorted_planes = psort.bitonic_sort(
             planes, num_keys=W, interpret=interpret

@@ -123,6 +123,43 @@ def _kmerize_kernel(k, Pq, pt_ref, glen_ref, *out_refs):
         out_refs[W][r * Pq : (r + 1) * Pq, :] = ctx.astype(U32)
 
 
+def unpack_qual_mask(mask_bits, L: int):
+    """(N, ceil(L/8)) uint8 little-endian bit rows -> (N, L) bool."""
+    n, B = mask_bits.shape
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (mask_bits[:, :, None] >> shifts[None, None, :]) & 1
+    return bits.reshape(n, 8 * B)[:, :L] != 0
+
+
+def good_lengths_mask(mask_bits, lengths, k: int, L: int):
+    """count_good_lengths from a packed good-qual bitmask (the device
+    side of the packed-upload path; semantics identical to
+    kmer_engine.good_lengths)."""
+    good_b = unpack_qual_mask(mask_bits, L)
+    n = good_b.shape[0]
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    good = good_b & (pos < lengths[:, None])
+    badpos = jnp.where(good, jnp.int32(L), pos)
+    next_bad = jax.lax.cummin(badpos, axis=1, reverse=True)
+    run = next_bad - pos
+    ok = run >= k
+    i_max = jnp.max(jnp.where(ok, pos, -1), axis=1)
+    return jnp.where(i_max >= 0, i_max + k, 0).astype(jnp.int32)
+
+
+def pack_rows_host(bases):
+    """numpy mirror of kmer_engine.pack_rows: (N, L) u8 -> (N, WR) u32."""
+    bases = np.asarray(bases, dtype=np.uint32)
+    n, L = bases.shape
+    Wr = (L + 15) // 16
+    padded = np.zeros((n, Wr * 16), dtype=np.uint32)
+    padded[:, :L] = bases
+    shifts = (30 - 2 * np.arange(16)).astype(np.uint32)
+    return np.bitwise_or.reduce(
+        padded.reshape(n, Wr, 16) << shifts[None, None, :], axis=-1
+    ).astype(np.uint32)
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "min_qual", "interpret")
 )
@@ -134,15 +171,31 @@ def kmerize_chunk_pallas(bases, lengths, quals, k: int, min_qual: int,
     M = 16*ceil((L-k+1)/16) * N; row order is a fixed permutation of
     (read, position) — callers that only sort/collapse are unaffected.
     """
-    n, L = bases.shape
+    glen = good_lengths(quals, lengths, k, min_qual)
+    packed = pack_rows(bases)  # (n, WR)
+    return kmerize_packed_pallas(
+        packed, glen, bases.shape[1], k, interpret=interpret
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L", "k", "interpret")
+)
+def kmerize_packed_pallas(packed, glen, L: int, k: int,
+                          interpret: bool = False):
+    """Kmerize from 2-bit packed read rows + precomputed good lengths.
+
+    The packed-upload fast path: the host ships (N, ceil(L/16)) u32
+    packed rows (4x smaller than byte codes) and a qual bitmask; the
+    predecessor/successor context bases are extracted from the packed
+    rows inside the kernel, so the byte codes are never needed on
+    device."""
+    n = packed.shape[0]
     W = bk.nwords(k)
     P = L - k + 1
     Pq = (P + 15) // 16
     P16 = 16 * Pq
     PTR = Pq + W + 2
-
-    glen = good_lengths(quals, lengths, k, min_qual)
-    packed = pack_rows(bases)  # (n, WR)
     WR = packed.shape[1]
     # transpose to (rows=words, lanes=reads) with a leading zero row
     pt = jnp.zeros((PTR, n), dtype=U32)
