@@ -77,25 +77,44 @@ def main():
     dl = jnp.asarray(lengths)
     dq = jnp.asarray(quals)
 
+    FULLC = jnp.uint32(0xFFFFFFFF)
+
     @jax.jit
     def kernel(b, l, q, salt):
         words, ctx, _ = pk.kmerize_chunk_pallas(b, l, q ^ salt, k, 7)
-        valid = ~bk.words_eq(words, jnp.full((1, W), 0xFFFFFFFF, jnp.uint32))
-        payload = jnp.where(valid, (ctx << jnp.uint32(8)) | 1, 0)
         planes = [
             jnp.concatenate(
-                [words[:, j], jnp.full(NP2 - M, 0xFFFFFFFF, jnp.uint32)]
+                [words[:, j], jnp.full(NP2 - M, FULLC, jnp.uint32)]
             )
             for j in range(W)
         ]
-        planes.append(
-            jnp.concatenate([payload, jnp.zeros(NP2 - M, jnp.uint32)])
-        )
         if backend == "pallas":
+            valid = ~bk.words_eq(
+                words, jnp.full((1, W), FULLC, jnp.uint32)
+            )
+            payload = jnp.where(valid, (ctx << jnp.uint32(8)) | 1, 0)
+            planes.append(
+                jnp.concatenate([payload, jnp.zeros(NP2 - M, jnp.uint32)])
+            )
             sp = psrt.bitonic_sort(planes, num_keys=W)
         else:
+            # ctx rides in the last word's pad bits (k=60 -> 8 free bits):
+            # the sort moves 4 operands instead of 5
+            ctxp = jnp.concatenate([ctx, jnp.zeros(NP2 - M, jnp.uint32)])
+            planes[W - 1] = planes[W - 1] | (ctxp & jnp.uint32(0xFF))
             sp = list(jax.lax.sort(planes, num_keys=W))
-        out_planes, counts, _lb = pcol.collapse_compact(sp)
+            ctx_s = sp[W - 1] & jnp.uint32(0xFF)
+            w_last = sp[W - 1] & ~jnp.uint32(0xFF)
+            sent = sp[0] == FULLC
+            for j in range(1, W - 1):
+                sent = sent & (sp[j] == FULLC)
+            sent = sent & (w_last == (FULLC & ~jnp.uint32(0xFF)))
+            w_last = jnp.where(sent, FULLC, w_last)
+            pay_s = jnp.where(
+                sent, jnp.uint32(0), (ctx_s << jnp.uint32(8)) | 1
+            )
+            sp = sp[: W - 1] + [w_last, pay_s]
+        out_planes, counts, _lb = pcol.collapse_compact(sp, min_count=4)
         probe = (
             jnp.sum(counts).astype(jnp.uint32)
             + jnp.sum(out_planes[0][:: 1 << 15])

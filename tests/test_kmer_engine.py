@@ -224,3 +224,20 @@ def test_count_kmers_flat_device_parity(rng):
     np.testing.assert_array_equal(d_dev.words, d_host.words)
     np.testing.assert_array_equal(d_dev.counts, d_host.counts)
     np.testing.assert_array_equal(d_dev.ctx, d_host.ctx)
+
+
+def test_count_kmers_device_pallas_backend(rng, monkeypatch):
+    """The pallas-sort backend (interpret) matches the default path."""
+    k = 31
+    bases, lengths, quals = make_reads(rng, 100, 60, with_quals=False)
+    ref_d, ref_hist = ke.count_kmers_device(
+        bases, lengths, quals, k, min_freq=2, interpret=True
+    )
+    monkeypatch.setenv("W2RAP_SORT", "pallas")
+    dev_d, dev_hist = ke.count_kmers_device(
+        bases, lengths, quals, k, min_freq=2, interpret=True
+    )
+    np.testing.assert_array_equal(dev_d.words, ref_d.words)
+    np.testing.assert_array_equal(dev_d.counts, ref_d.counts)
+    np.testing.assert_array_equal(dev_d.ctx, ref_d.ctx)
+    np.testing.assert_array_equal(dev_hist, ref_hist)

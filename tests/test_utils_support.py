@@ -106,3 +106,22 @@ def test_efasta_parse_expand():
     assert efasta.flatten_to(s) == "ACGAG"
     np.testing.assert_array_equal(efasta.to_codes("ACGT"), [0, 1, 2, 3])
     assert len(efasta.expand_to_codes(s)) == 4
+
+
+def test_sysinfo_memory_and_timelog(monkeypatch):
+    from w2rap_contigger_tpu.utils import sysinfo
+
+    assert sysinfo.mem_usage_bytes() > 0
+    assert sysinfo.peak_mem_usage_bytes() >= sysinfo.mem_usage_bytes() // 2
+    assert float(sysinfo.peak_mem_usage_gb_string()) > 0
+    sysinfo.set_max_memory(123 << 30)
+    assert sysinfo.get_max_memory() == 123 << 30
+
+    monkeypatch.setenv("W2RAP_TIMELOG", "1")
+    sysinfo.timelog_reset()
+    with sysinfo.timelog("phase_a"):
+        pass
+    with sysinfo.timelog("phase_a"):
+        pass
+    rep = sysinfo.timelog_report()
+    assert "phase_a" in rep and "2 calls" in rep

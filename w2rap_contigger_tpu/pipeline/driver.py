@@ -80,6 +80,11 @@ def run_pipeline(
     # BLAS/numpy thread pools; XLA device parallelism is unaffected.
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS"):
         os.environ.setdefault(var, str(threads))
+    # SetMaxMemory analogue (System.cc:1027): soft ceiling consulted by
+    # the counting pipelines for automatic hash-range batching
+    from ..utils import sysinfo
+
+    sysinfo.set_max_memory(int(max_mem_gb) << 30)
 
     hbv = paths = None
 
@@ -101,6 +106,9 @@ def run_pipeline(
         # the reference always writes frag_reads_orig.* in step 1
         # (w2rap-contigger.cc:315-316) so any later --from_step works
         reads.save(f"{out_dir}/frag_reads_orig.npz")
+        # the reference prints peak memory after loading
+        # (ExtractReads.cc:661-664)
+        print(f"peak mem usage = {sysinfo.peak_mem_usage_gb_string()} GB")
         perf.checkpoint("ReadLoad")
 
     # ---- step 2: small-k graph ---------------------------------------
