@@ -111,3 +111,26 @@ def test_full_pipeline_k128(tmp_path, genome_and_reads):
         contigs = [l.strip() for l in f if not l.startswith(">")]
     total = sum(len(c) for c in contigs)
     assert total >= 0.9 * len(genome)
+
+
+def test_full_pipeline_k200(tmp_path):
+    """Production-K end-to-end (the BASELINE configs use K=200/260;
+    in-suite coverage so large-K regressions surface before parity runs)."""
+    rng = np.random.default_rng(11)
+    genome = rng.integers(0, 4, size=20000).astype(np.uint8)
+    reads = simulate_pe_reads(rng, genome, n_pairs=1500, rlen=250, insert=500)
+    out = str(tmp_path)
+    run_pipeline(
+        out_dir=out, reads=reads, large_k=200, min_freq=4, min_qual=7,
+        chunk_reads=2048,
+    )
+    with open(f"{out}/a.lines.fasta") as f:
+        contigs = [l.strip() for l in f if not l.startswith(">")]
+    total = sum(len(c) for c in contigs)
+    assert total >= 0.9 * len(genome)
+    gstr = dna.codes_to_seq(genome)
+    grc = dna.codes_to_seq(dna.revcomp_codes(genome))
+    for c in contigs:
+        for piece in c.split("N"):
+            if len(piece) >= 2000:
+                assert piece in gstr or piece in grc

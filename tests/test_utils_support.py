@@ -125,3 +125,36 @@ def test_sysinfo_memory_and_timelog(monkeypatch):
         pass
     rep = sysinfo.timelog_report()
     assert "phase_a" in rep and "2 calls" in rep
+
+
+def test_rngen_reference_sequence():
+    """Bit-exact vs the reference's lagged-Fibonacci RNGen (RNGen.h:28;
+    verified against a direct C++ transcription of the algorithm)."""
+    from w2rap_contigger_tpu.utils import random as wr
+
+    g = wr.RNGen(1)
+    assert [g.next() for _ in range(5)] == [
+        2078917053, 143302914, 1027100827, 1953210302, 755253631,
+    ]
+
+
+def test_normal_distribution_functions():
+    import math
+
+    from w2rap_contigger_tpu.utils import random as wr
+
+    assert abs(wr.standard_normal_distribution_integral(0.0) - 0.5) < 1e-6
+    assert wr.standard_normal_distribution_integral(6.0) == 1.0
+    assert wr.standard_normal_distribution_integral(-6.0) == 0.0
+    # CDF consistent with density (finite difference)
+    a = 0.7
+    eps = 1e-3
+    d = (
+        wr.standard_normal_distribution_integral(a + eps)
+        - wr.standard_normal_distribution_integral(a - eps)
+    ) / (2 * eps)
+    assert abs(d - wr.normal_density(a, 0.0, 1.0)) < 1e-3
+    assert abs(wr.partial_bernoulli_sum(10, 10) - 2**10) < 1e-6
+    assert wr.partial_bernoulli_sum(5, 2) == 1 + 5 + 10
+    ok, x = wr.normal_deviate(0.9, 0.6)
+    assert ok and abs(x) < 1.0
