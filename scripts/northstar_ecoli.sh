@@ -8,9 +8,11 @@
 #   reference (-O2, 8 threads): 286s wall
 #     ExtractReads 82.2  buildReadQGraph 78.9  Repath 28.7  Clean200x 0.2
 #     AssembleGaps2 0.5  NewStuff&Partners 32.7  Simplify 60.7  MakeGaps 0.1
-#   this build (CPU backend, parity mode): 2148s wall
-#     ReadLoad 59.0  SmallKGraph 802.3  RepathInMemory 445.0  Clean200x 0.2
-#     AssembleGaps 21.8  Simplify 812.2  MakeGaps+FinalFiles 8.1
+#   this build (CPU backend, parity mode): 721s wall (round-2 final;
+#   the first round-2 measurement was 2148s before the Simplify/step-5
+#   vectorization landed)
+#     ReadLoad 54.8  SmallKGraph 448.7  RepathInMemory 154.0  Clean200x 0.1
+#     AssembleGaps 7.3  Simplify 51.3  MakeGaps+FinalFiles 5.4
 #   (the TPU counting kernel replaces SmallKGraph's dict build at
 #    94.4M kmers/s/chip = 1.12x the 32-core baseline; see bench.py)
 set -e
