@@ -25,11 +25,34 @@ def main():
     ap.add_argument("--insert", type=int, default=500)
     ap.add_argument("--err", type=float, default=0.003)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--repeats", type=int, default=0,
+                    help="plant N copies of a shared repeat unit")
+    ap.add_argument("--repeat_len", type=int, default=3000)
+    ap.add_argument("--dips", type=int, default=0,
+                    help="N coverage-dip windows (reads there dropped "
+                         "with 85%% probability -> unsatisfied pairs)")
+    ap.add_argument("--dip_len", type=int, default=400)
     args = ap.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     genome = rng.integers(0, 4, size=args.glen).astype(np.uint8)
+    if args.repeats > 1:
+        # identical repeat copies at spread-out loci: the large-K graph
+        # collapses them into shared edges, exercising Unsat clustering,
+        # gap assembly and PathFinder untangling
+        unit = rng.integers(0, 4, size=args.repeat_len).astype(np.uint8)
+        spacing = args.glen // (args.repeats + 1)
+        for i in range(args.repeats):
+            at = spacing * (i + 1)
+            genome[at : at + args.repeat_len] = unit[: max(0, min(
+                args.repeat_len, args.glen - at))]
+    dip_windows = []
+    if args.dips > 0:
+        spacing = args.glen // (args.dips + 1)
+        for i in range(args.dips):
+            at = spacing * (i + 1) + spacing // 3
+            dip_windows.append((at, at + args.dip_len))
     with open(f"{args.out_dir}/genome.fasta", "w") as f:
         f.write(">genome\n")
         s = dna.codes_to_seq(genome)
@@ -43,6 +66,22 @@ def main():
     for b0 in range(0, args.pairs, B):
         nb = min(B, args.pairs - b0)
         starts = rng.integers(0, args.glen - args.insert, size=nb)
+        if dip_windows:
+            mid = starts + args.insert // 2
+            in_dip = np.zeros(nb, dtype=bool)
+            for lo, hi in dip_windows:
+                in_dip |= (mid >= lo) & (mid < hi)
+            drop = in_dip & (rng.random(nb) < 0.85)
+            # resample dropped fragments away from the dips
+            while drop.any():
+                starts[drop] = rng.integers(
+                    0, args.glen - args.insert, size=int(drop.sum())
+                )
+                mid = starts + args.insert // 2
+                in_dip = np.zeros(nb, dtype=bool)
+                for lo, hi in dip_windows:
+                    in_dip |= (mid >= lo) & (mid < hi)
+                drop = drop & in_dip
         idx = starts[:, None] + np.arange(args.insert)[None, :]
         frags = genome[idx]
         r1 = frags[:, : args.rlen].copy()
