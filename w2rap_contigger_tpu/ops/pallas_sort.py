@@ -86,17 +86,51 @@ def _cmp_take(xs, ps, num_keys, is_low, desc):
     return [jnp.where(take, p, x) for x, p in zip(xs, ps)]
 
 
+def _cmp_swap(a_ops, b_ops, num_keys, desc):
+    """Compare-exchange between paired halves: a is the low index.
+    Returns (new_a, new_b)."""
+    gt = None
+    eq = None
+    for j in range(num_keys):
+        gw = a_ops[j] > b_ops[j]
+        if gt is None:
+            gt = gw
+            eq = a_ops[j] == b_ops[j]
+        else:
+            gt = gt | (eq & gw)
+            if j + 1 < num_keys:
+                eq = eq & (a_ops[j] == b_ops[j])
+    swap = (
+        (gt.astype(jnp.uint32) ^ desc.astype(jnp.uint32)) != 0
+    )
+    na = [jnp.where(swap, b, a) for a, b in zip(a_ops, b_ops)]
+    nb = [jnp.where(swap, a, b) for a, b in zip(a_ops, b_ops)]
+    return na, nb
+
+
 def _stage(ops, num_keys, e, s, size, *, pallas):
     """One compare-exchange stage at element stride ``s``.
 
     e: (rows, 128) int32 global element ids; size may be a traced scalar.
+    Row strides use reshape-halves (each pair computed once); lane
+    strides use the roll-based XOR-partner form.
     """
-    if s < LANES:
-        axis, sh = 1, s
-    else:
-        axis, sh = 0, s // LANES
-    lo = [_roll(x, -sh, axis, pallas=pallas) for x in ops]
-    hi = [_roll(x, sh, axis, pallas=pallas) for x in ops]
+    if s >= LANES:
+        sr = s // LANES
+        R = ops[0].shape[0]
+        g = R // (2 * sr)
+        shaped = [x.reshape(g, 2, sr, LANES) for x in ops]
+        a_ops = [x[:, 0] for x in shaped]
+        b_ops = [x[:, 1] for x in shaped]
+        ea = e.reshape(g, 2, sr, LANES)[:, 0]
+        desc = (ea & size) != 0
+        na, nb = _cmp_swap(a_ops, b_ops, num_keys, desc)
+        return [
+            jnp.stack([x, y], axis=1).reshape(R, LANES)
+            for x, y in zip(na, nb)
+        ]
+    lo = [_roll(x, -s, 1, pallas=pallas) for x in ops]
+    hi = [_roll(x, s, 1, pallas=pallas) for x in ops]
     is_low = (e & s) == 0
     ps = [jnp.where(is_low, a, b) for a, b in zip(lo, hi)]
     desc = (e & size) != 0
@@ -148,16 +182,22 @@ def _tile_merge_kernel(num_ops, num_keys, tile_rows, size_ref, *refs):
 
 def _cross_stage(ops, num_keys, s, size, n):
     """One compare-exchange stage with stride >= tile, in plain XLA
-    (single elementwise pass; partner found by row rolls)."""
+    (single elementwise pass over reshape-halves)."""
     rows = n // LANES
-    sh = s // LANES
-    e_row = jnp.arange(rows, dtype=jnp.int32)[:, None] * LANES
-    is_low = ((e_row & s) == 0)
-    desc = ((e_row & size) != 0)
-    lo = [jnp.roll(x, -sh, 0) for x in ops]
-    hi = [jnp.roll(x, sh, 0) for x in ops]
-    ps = [jnp.where(is_low, a, b) for a, b in zip(lo, hi)]
-    return _cmp_take(ops, ps, num_keys, is_low, desc)
+    sr = s // LANES
+    g = rows // (2 * sr)
+    shaped = [x.reshape(g, 2, sr, LANES) for x in ops]
+    a_ops = [x[:, 0] for x in shaped]
+    b_ops = [x[:, 1] for x in shaped]
+    e_a = (
+        jnp.arange(g, dtype=jnp.int32)[:, None, None] * (2 * s)
+    )
+    desc = ((e_a & size) != 0)
+    na, nb = _cmp_swap(a_ops, b_ops, num_keys, desc)
+    return [
+        jnp.stack([x, y], axis=1).reshape(rows, LANES)
+        for x, y in zip(na, nb)
+    ]
 
 
 @functools.partial(
