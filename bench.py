@@ -39,7 +39,7 @@ def main():
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
     import jax.numpy as jnp
     import numpy as np
@@ -145,7 +145,13 @@ def main():
     n_kmers = n_reads * (L - k + 1)
     kernel_rate = n_kmers / dt_kernel
 
-    # end-to-end: full count_kmers_device incl. transfers + dict download
+    # end-to-end: full count_kmers_device incl. transfers + dict download.
+    # First call compiles the transfer/epilogue programs (or loads them
+    # from the persistent cache); the steady-state production rate is the
+    # warm second call, and the cold time is reported alongside.
+    t0 = time.time()
+    d, hist = ke.count_kmers_device(bases, lengths, quals, k)
+    dt_cold = time.time() - t0
     t0 = time.time()
     d, hist = ke.count_kmers_device(bases, lengths, quals, k)
     dt_e2e = time.time() - t0
@@ -161,6 +167,7 @@ def main():
                     "kernel_wall_s": round(dt_kernel, 3),
                     "end_to_end_kmers_per_sec": round(n_kmers / dt_e2e, 1),
                     "end_to_end_wall_s": round(dt_e2e, 2),
+                    "end_to_end_cold_s": round(dt_cold, 2),
                     "reads": n_reads,
                     "unique_kmers": int(d.size),
                     "sort_backend": backend,

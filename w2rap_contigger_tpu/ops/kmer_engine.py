@@ -637,6 +637,19 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _quantize_octave(n: int, align: int, steps: int = 8) -> int:
+    """Round n up onto a coarse grid: `steps` points per power of two,
+    aligned to `align`.  Bounds padding at 1/steps (12.5% by default)
+    while collapsing the infinite family of dataset-dependent sizes onto
+    a handful of shapes, so jitted programs hit the persistent compile
+    cache across datasets (fresh XLA compiles cost seconds per program
+    on remote/tunneled backends)."""
+    n = max(n, align)
+    p = 1 << (n.bit_length() - 1)  # largest pow2 <= n
+    step = max(align, p // steps)
+    return ((n + step - 1) // step) * step
+
+
 def count_kmers_device(
     bases,
     lengths,
@@ -716,8 +729,12 @@ def count_kmers_device(
         cb = np.asarray(bases[start:stop])
         cl = np.asarray(lengths[start:stop])
         cq = np.asarray(quals[start:stop])
-        if cb.shape[0] < chunk_reads and n > chunk_reads:
-            padn = chunk_reads - cb.shape[0]
+        # pad partial chunks onto the octave grid (not just full chunks):
+        # the kmerize program's shape must not depend on the dataset size
+        # or every new dataset pays a fresh multi-second XLA compile
+        n_rows_target = min(chunk_reads, _quantize_octave(cb.shape[0], 1024))
+        if cb.shape[0] < n_rows_target:
+            padn = n_rows_target - cb.shape[0]
             cb = np.concatenate([cb, np.zeros((padn, L), np.uint8)])
             cl = np.concatenate([cl, np.zeros(padn, np.int32)])
             cq = np.concatenate([cq, np.zeros((padn, L), np.uint8)])
@@ -758,10 +775,12 @@ def _device_count_epilogue(
         # the bitonic network needs a power-of-two row count
         n_pad = max(_next_pow2(n_kmers_total + 1), 128)
     else:
-        # lax.sort takes any n; pad only to the collapse tile (+>=1
-        # sentinel so the shifted-by-one collapse never drops a segment)
+        # lax.sort takes any n; pad to the collapse tile (+>=1 sentinel
+        # so the shifted-by-one collapse never drops a segment), rounded
+        # onto the octave grid so the sort program's shape is reused
+        # across datasets (compile-cache hits)
         tile = pcol.DEFAULT_TILE_ROWS * pcol.LANES
-        n_pad = max(tile, ((n_kmers_total + 1 + tile - 1) // tile) * tile)
+        n_pad = _quantize_octave(n_kmers_total + 1, tile)
 
     def _cat(parts, fill):
         flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]

@@ -273,9 +273,20 @@ def gather_unique(out_planes, counts, tile_rows=None):
             np.zeros(0, np.uint32),
             np.zeros(0, np.int32),
         )
+    # pad the gather index onto a coarse grid (8 steps/octave) so the
+    # take program's shape is dataset-independent (compile-cache hits);
+    # the padded rows are trimmed by count before the sentinel filter
+    n_real = src.size
+    from ..ops.kmer_engine import _quantize_octave
+
+    n_q = min(_quantize_octave(n_real, 128), n // LANES)
+    if n_q > n_real:
+        src = np.concatenate([src, np.zeros(n_q - n_real, np.int32)])
     src_d = jnp.asarray(src)
     rowsets = [
-        np.asarray(jnp.take(p.reshape(-1, LANES), src_d, axis=0)).reshape(-1)
+        np.asarray(jnp.take(p.reshape(-1, LANES), src_d, axis=0)).reshape(
+            -1
+        )[: n_real * LANES]
         for p in out_planes
     ]
     words = np.stack(rowsets[:W], axis=-1)

@@ -131,6 +131,7 @@ def unpack_qual_mask(mask_bits, L: int):
     return bits.reshape(n, 8 * B)[:, :L] != 0
 
 
+@functools.partial(jax.jit, static_argnames=("k", "L"))
 def good_lengths_mask(mask_bits, lengths, k: int, L: int):
     """count_good_lengths from a packed good-qual bitmask (the device
     side of the packed-upload path; semantics identical to

@@ -35,28 +35,17 @@ from .read_paths import ReadPathVec
 MAX_JITTER = 3  # BuildReadQGraph.cc:831
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_iters"))
-def _lookup_chunk(
-    bases,
-    lengths,
-    table_t,
-    kdef_edge,
-    kdef_off,
-    kdef_rc,
-    fwd_xlat,
-    rev_xlat,
-    ekm,
-    k: int,
-    n_iters: int,
+def _lookup_core(
+    packed, lengths, table_t, kdef_edge, kdef_off, kdef_rc,
+    fwd_xlat, rev_xlat, ekm, k: int, n_iters: int, L: int,
 ):
-    """Per-position oriented-edge lookup.
+    """Per-position oriented-edge lookup from 2-bit packed read rows.
 
     Returns (hbv_edge (N,P) int32 [-1 miss, -2 invalid], off (N,P) int32
     kmer-unit offset on the oriented edge, ekm_at (N,P) int32).
     """
-    n, L = bases.shape
+    n = packed.shape[0]
     P = L - k + 1
-    packed = ke.pack_rows(bases)
     words = ke.kmer_windows(packed, k, P)
     canon, is_rev = bk.canonicalize(words, k)
 
@@ -80,6 +69,84 @@ def _lookup_chunk(
     return hbv_e, off, ekm_e
 
 
+@functools.partial(jax.jit, static_argnames=("k", "n_iters"))
+def _lookup_chunk(
+    bases,
+    lengths,
+    table_t,
+    kdef_edge,
+    kdef_off,
+    kdef_rc,
+    fwd_xlat,
+    rev_xlat,
+    ekm,
+    k: int,
+    n_iters: int,
+):
+    """Dense-plane lookup from byte codes (fallback path)."""
+    return _lookup_core(
+        ke.pack_rows(bases), lengths, table_t, kdef_edge, kdef_off,
+        kdef_rc, fwd_xlat, rev_xlat, ekm, k, n_iters, bases.shape[1],
+    )
+
+
+RUN_SLOTS = 24  # per-read run-start capacity of the compact download
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_iters", "L"))
+def _lookup_compact_chunk(
+    packed,
+    lengths,
+    table_t,
+    kdef_edge,
+    kdef_off,
+    kdef_rc,
+    fwd_xlat,
+    rev_xlat,
+    ekm,
+    k: int,
+    n_iters: int,
+    L: int,
+):
+    """Lookup + on-device run-start compaction, from 2-bit packed rows.
+
+    The dense (N, P) lookup planes are ~50x larger than the run-start
+    parts they decode to (reads have a handful of PathParts each,
+    BuildReadQGraph.cc:497-560), so the decode's boundary detection runs
+    on device and only the first RUN_SLOTS run starts per read are
+    downloaded; the reads ride up as packed rows (4x smaller than byte
+    codes — the upload is the chunk's other big cost on tunneled links).
+    Returns (pos_s, e_s, off_s, ekm_s (N, S) int32, nruns (N,) int32);
+    a read with nruns > slots signals the caller to fall back to the
+    dense path for the chunk.
+    """
+    hbv_e, off, ekm_e = _lookup_core(
+        packed, lengths, table_t, kdef_edge, kdef_off, kdef_rc,
+        fwd_xlat, rev_xlat, ekm, k, n_iters, L,
+    )
+    n, P = hbv_e.shape
+    prev_e = jnp.concatenate(
+        [jnp.full((n, 1), -3, jnp.int32), hbv_e[:, :-1]], axis=1
+    )
+    prev_o = jnp.concatenate(
+        [jnp.zeros((n, 1), jnp.int32), off[:, :-1]], axis=1
+    )
+    in_range = hbv_e != -2
+    new_run = in_range & (
+        (hbv_e != prev_e) | ((hbv_e >= 0) & (off != prev_o + 1))
+    )
+    nruns = jnp.sum(new_run.astype(jnp.int32), axis=1)
+    # first S run starts per read: descending key <=> ascending position
+    pos = jnp.arange(P, dtype=jnp.int32)[None, :]
+    key = jnp.where(new_run, P - pos, 0)
+    _, idx_s = jax.lax.top_k(key, min(RUN_SLOTS, P))  # (N, S)
+    pos_s = idx_s.astype(jnp.int32)
+    e_s = jnp.take_along_axis(hbv_e, idx_s, axis=1)
+    off_s = jnp.take_along_axis(off, idx_s, axis=1)
+    ekm_s = jnp.take_along_axis(ekm_e, idx_s, axis=1)
+    return pos_s, e_s, off_s, ekm_s, nruns
+
+
 def _decode_chunk(hbv_e, off, ekm, lengths, k, tail_words, tail_W):
     """Run-length decode + reference heuristics -> per-read paths.
 
@@ -97,17 +164,43 @@ def _decode_chunk(hbv_e, off, ekm, lengths, k, tail_words, tail_W):
     )
 
     rid_m, pos_m = np.nonzero(new_run)
+    part_edge = hbv_e[rid_m, pos_m]
+    part_off = off[rid_m, pos_m]
+    part_ekm = ekm[rid_m, pos_m]
+    return _parts_to_paths(
+        rid_m, pos_m, part_edge, part_off, part_ekm,
+        lengths, k, tail_words, n,
+    )
+
+
+def _decode_compact(pos_s, e_s, off_s, ekm_s, nruns, lengths, k, tail_words):
+    """Decode from the compact per-read run-start slots (numpy)."""
+    n, S = pos_s.shape
+    slot = np.arange(S)[None, :]
+    m = slot < nruns[:, None]
+    rid_m, slot_m = np.nonzero(m)  # row-major: sorted by (read, slot=pos)
+    return _parts_to_paths(
+        rid_m,
+        pos_s[rid_m, slot_m],
+        e_s[rid_m, slot_m],
+        off_s[rid_m, slot_m],
+        ekm_s[rid_m, slot_m],
+        lengths, k, tail_words, n,
+    )
+
+
+def _parts_to_paths(
+    rid_m, pos_m, part_edge, part_off, part_ekm, lengths, k, tail_words, n
+):
+    """Shared decode tail: flat parts table (sorted by read, position) ->
+    ReadPath arrays, with the reference's captured-gap conformance,
+    isJoinable and weak-seed heuristics (BuildReadQGraph.cc:845-940)."""
     if len(rid_m) == 0:
         return (
             np.zeros(0, np.int32),
             np.zeros(n + 1, np.int64),
             np.zeros(n, np.int32),
         )
-
-    # parts table (flat, grouped by read then position)
-    part_edge = hbv_e[rid_m, pos_m]
-    part_off = off[rid_m, pos_m]
-    part_ekm = ekm[rid_m, pos_m]
     # run length: next run start (or end of valid region) - start
     n_valid = np.maximum(lengths - k + 1, 0)
     next_start = np.concatenate([pos_m[1:], [0]])
@@ -238,7 +331,7 @@ def edge_tail_words(hbv):
 
 
 def path_reads(
-    reads, d, hbv, fwd_xlat, rev_xlat, chunk_reads: int = 65536
+    reads, d, hbv, fwd_xlat, rev_xlat, chunk_reads: int = 262144
 ) -> ReadPathVec:
     """Path every read through the HBV (step-2 read pathing).
 
@@ -265,35 +358,44 @@ def path_reads(
     all_edges = []
     all_offs = []
     all_start = []
+    from ..ops.pallas_kmer import pack_rows_host
+
     for start in range(0, n, chunk_reads):
         stop = min(start + chunk_reads, n)
-        nb = chunk_reads
+        # pad partial chunks onto the octave grid so the lookup
+        # program's shape is dataset-independent (compile-cache hits)
+        nb = min(chunk_reads, ke._quantize_octave(stop - start, 1024))
         cb = np.zeros((nb, L), dtype=np.uint8)
         cl = np.zeros(nb, dtype=np.int32)
         cb[: stop - start] = reads.bases[start:stop]
         cl[: stop - start] = reads.lengths[start:stop]
-        he, off, ekm_at = _lookup_chunk(
-            jnp.asarray(cb),
-            jnp.asarray(cl),
-            table_t,
-            kdef_edge,
-            kdef_off,
-            kdef_rc,
-            fwd_x,
-            rev_x,
-            ekm_canon,
-            k,
-            n_iters,
+        dp = jnp.asarray(pack_rows_host(cb))
+        dl = jnp.asarray(cl)
+        pos_s, e_s, off_s, ekm_s, nruns = _lookup_compact_chunk(
+            dp, dl, table_t, kdef_edge, kdef_off, kdef_rc,
+            fwd_x, rev_x, ekm_canon, k, n_iters, L,
         )
-        pe, offs, so = _decode_chunk(
-            np.asarray(he),
-            np.asarray(off),
-            np.asarray(ekm_at),
-            cl,
-            k,
-            tail_words,
-            tail_words.shape[1],
-        )
+        nruns = np.asarray(nruns)
+        if int(nruns.max(initial=0)) <= int(pos_s.shape[1]):
+            pe, offs, so = _decode_compact(
+                np.asarray(pos_s), np.asarray(e_s), np.asarray(off_s),
+                np.asarray(ekm_s), nruns, cl, k, tail_words,
+            )
+        else:
+            # a read overflowed the compact slots: dense fallback
+            he, off, ekm_at = _lookup_chunk(
+                jnp.asarray(cb), dl, table_t, kdef_edge, kdef_off, kdef_rc,
+                fwd_x, rev_x, ekm_canon, k, n_iters,
+            )
+            pe, offs, so = _decode_chunk(
+                np.asarray(he),
+                np.asarray(off),
+                np.asarray(ekm_at),
+                cl,
+                k,
+                tail_words,
+                tail_words.shape[1],
+            )
         real = stop - start
         all_edges.append(pe[: offs[real]])
         all_offs.append(np.diff(offs[: real + 1]))
