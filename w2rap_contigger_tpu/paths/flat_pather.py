@@ -87,27 +87,41 @@ def path_flat_sequences(
         all_e[s : s + C] = np.asarray(he[:C])
         all_o[s : s + C] = np.asarray(off[:C])
 
+    # ---- segment decode, vectorized over all segments at once ---------
     kmers_b = np.diff(hbv.edge_start) - k + 1
-    paths = []
     starts = np.zeros(S, dtype=np.int32)
     stops = np.zeros(S, dtype=np.int32)
-    for si in range(S):
-        a, b = int(seg_offsets[si]), int(seg_offsets[si + 1])
-        np_seg = b - a - k + 1
-        if np_seg <= 0:
-            paths.append(np.zeros(0, np.int32))
-            continue
-        e = all_e[a : a + np_seg]
-        o = all_o[a : a + np_seg]
-        if np.any(e < 0):
-            paths.append(np.zeros(0, np.int32))
-            continue
-        newrun = np.concatenate(
-            [[True], (e[1:] != e[:-1]) | (o[1:] != o[:-1] + 1)]
-        )
-        runs = np.flatnonzero(newrun)
-        paths.append(e[runs].astype(np.int32))
-        starts[si] = o[0]
-        last_e = int(e[-1])
-        stops[si] = int(kmers_b[last_e]) - 1 - int(o[-1])
+    seg_a = seg_offsets[:-1].astype(np.int64)
+    seg_np = np.maximum(seg_offsets[1:] - seg_a - k + 1, 0)
+    # flat index ranges of each segment's positions
+    tot = int(seg_np.sum())
+    if tot == 0:
+        return [np.zeros(0, np.int32) for _ in range(S)], starts, stops
+    sid = np.repeat(np.arange(S), seg_np)
+    within = np.arange(tot) - np.repeat(np.cumsum(seg_np) - seg_np, seg_np)
+    gpos = np.repeat(seg_a, seg_np) + within
+    e = all_e[gpos]
+    o = all_o[gpos]
+    # a segment is walkable iff every position hit the dictionary
+    seg_ok = np.ones(S, dtype=bool)
+    np.logical_and.at(seg_ok, sid, e >= 0)
+    first = within == 0
+    newrun = first | (
+        np.concatenate([[True], (e[1:] != e[:-1]) | (o[1:] != o[:-1] + 1)])
+    )
+    runs = newrun & seg_ok[sid]
+    run_idx = np.flatnonzero(runs)
+    pool = e[run_idx].astype(np.int32)
+    pc = np.zeros(S, dtype=np.int64)
+    np.add.at(pc, sid[run_idx], 1)
+    poff = np.zeros(S + 1, dtype=np.int64)
+    poff[1:] = np.cumsum(pc)
+    paths = [pool[poff[si] : poff[si + 1]] for si in range(S)]
+    # starts/stops from each valid segment's first/last position
+    lastpos = np.cumsum(seg_np) - 1
+    firstpos = lastpos - seg_np + 1
+    has = (seg_np > 0) & seg_ok
+    starts[has] = o[firstpos[has]]
+    e_last = e[lastpos[has]]
+    stops[has] = kmers_b[e_last] - 1 - o[lastpos[has]]
     return paths, starts, stops

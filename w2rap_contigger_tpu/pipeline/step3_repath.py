@@ -38,30 +38,64 @@ def repath(hbv, paths, k2: int, extend_paths: bool = False):
     lens = hbv.edge_len()
 
     # ---- places -------------------------------------------------------
-    # canonical (min of path vs rc path) unique edge sequences
-    place_of_read = {}
+    # canonical (min of path vs rc path) unique edge sequences.
+    # Vectorized over all reads at once (the reference's per-read OMP
+    # batches, Repath.cc:46-67): candidate paths are padded into one
+    # int32 matrix, the rc form is built by a single gather, and the
+    # canonical choice / dedup run as row-wise lexicographic compares.
+    n_reads = paths.n_reads
+    plen = np.diff(paths.offsets)
+    nk_read = np.zeros(n_reads, dtype=np.int64)
+    np.add.at(
+        nk_read,
+        np.repeat(np.arange(n_reads), plen),
+        kmers[paths.edges],
+    )
+    cand = np.flatnonzero((plen > 0) & (nk_read + (k - 1) >= k2))
+    place_rc = np.zeros(n_reads, dtype=bool)
+    place_idx = np.full(n_reads, -1, dtype=np.int64)
     place_list = []
-    place_rc = np.zeros(paths.n_reads, dtype=bool)
-    place_idx = np.full(paths.n_reads, -1, dtype=np.int64)
-    for i in range(paths.n_reads):
-        p = paths.path(i)
-        if len(p) == 0:
-            continue
-        nk = int(np.sum(kmers[p]))
-        if nk + (k - 1) < k2:
-            continue
-        y = inv[p[::-1]]
-        xb = p.astype(np.int32).tobytes()
-        yb = y.astype(np.int32).tobytes()
-        rc = yb < xb
-        key = yb if rc else xb
-        j = place_of_read.get(key)
-        if j is None:
-            j = len(place_list)
-            place_of_read[key] = j
-            place_list.append(np.frombuffer(key, dtype=np.int32))
-        place_idx[i] = j
-        place_rc[i] = rc
+    place_of_read = {}
+    if len(cand):
+        clen = plen[cand]
+        Lp = int(clen.max())
+        # padded forward matrix (pad = -1 sorts before any edge id,
+        # matching the shorter-prefix-first bytes comparison)
+        fwd = np.full((len(cand), Lp), -1, dtype=np.int64)
+        rows = np.repeat(np.arange(len(cand)), clen)
+        cols = (
+            np.arange(len(rows))
+            - np.repeat(np.cumsum(clen) - clen, clen)
+        )
+        fwd[rows, cols] = paths.edges[
+            np.repeat(paths.offsets[cand], clen) + cols
+        ]
+        # rc form: inv of reversed row (reversal within the real length)
+        rcm = np.full_like(fwd, -1)
+        rcm[rows, cols] = inv[fwd[rows, clen[rows] - 1 - cols]]
+        # row-wise lexicographic fwd vs rc (same length, so elementwise)
+        diff_col = (fwd != rcm).argmax(axis=1)
+        r = np.arange(len(cand))
+        rc_less = rcm[r, diff_col] < fwd[r, diff_col]
+        canon = np.where(rc_less[:, None], rcm, fwd).astype(np.int32)
+        # dedup canonical rows, preserving first-seen order like the
+        # reference's place map (void view: memcmp equality on rows)
+        _, first, inv_map = np.unique(
+            np.ascontiguousarray(canon).view(f"V{4 * Lp}").reshape(-1),
+            return_index=True,
+            return_inverse=True,
+        )
+        order = np.argsort(first, kind="stable")
+        rank_of_unique = np.empty_like(order)
+        rank_of_unique[order] = np.arange(len(order))
+        place_idx[cand] = rank_of_unique[inv_map]
+        place_rc[cand] = rc_less
+        first_sorted = first[order]
+        for fi in first_sorted:
+            place_list.append(canon[fi, : clen[fi]].copy())
+        place_of_read = {
+            pl.tobytes(): j for j, pl in enumerate(place_list)
+        }
 
     if extend_paths and place_list:
         fo, fe, to, te = hbv.vertex_csr()
@@ -142,26 +176,53 @@ def repath(hbv, paths, k2: int, extend_paths: bool = False):
     )
     inv2 = hbv2.inv
 
-    # ---- translate read paths -----------------------------------------
+    # ---- translate read paths (vectorized over all reads) -------------
     n = paths.n_reads
-    new_lens = np.zeros(n, dtype=np.int64)
     ok = place_idx >= 0
-    for i in np.flatnonzero(ok):
-        new_lens[i] = len(ipaths2[place_idx[i]])
+    pl_len = np.fromiter(
+        (len(u) for u in ipaths2), dtype=np.int64, count=len(ipaths2)
+    )
+    poffs = np.zeros(len(ipaths2) + 1, dtype=np.int64)
+    poffs[1:] = np.cumsum(pl_len)
+    ppool = (
+        np.concatenate(ipaths2).astype(np.int32)
+        if len(ipaths2)
+        else np.zeros(0, np.int32)
+    )
+
+    new_lens = np.zeros(n, dtype=np.int64)
+    new_lens[ok] = pl_len[place_idx[ok]]
     offsets = np.zeros(n + 1, dtype=np.int64)
     offsets[1:] = np.cumsum(new_lens)
     flat_edges = np.zeros(int(offsets[-1]), dtype=np.int32)
     start_off = np.zeros(n, dtype=np.int32)
-    for i in np.flatnonzero(ok):
-        si = place_idx[i]
-        u = ipaths2[si]
-        if len(u) == 0:
-            continue
-        if not place_rc[i]:
-            flat_edges[offsets[i] : offsets[i + 1]] = u
-            start_off[i] = paths.start[i] + starts[si] - left_trunc[si]
-        else:
-            flat_edges[offsets[i] : offsets[i + 1]] = inv2[u[::-1]]
-            start_off[i] = paths.start[i] + stops[si] - right_trunc[si]
+
+    rid = np.flatnonzero(new_lens > 0)
+    if len(rid):
+        si = place_idx[rid]
+        l_r = new_lens[rid]
+        rows = np.repeat(np.arange(len(rid)), l_r)
+        within = (
+            np.arange(len(rows)) - np.repeat(np.cumsum(l_r) - l_r, l_r)
+        )
+        dst = np.repeat(offsets[rid], l_r) + within
+        is_rc = np.repeat(place_rc[rid], l_r)
+        src_fwd = np.repeat(poffs[si], l_r) + within
+        src_rc = np.repeat(poffs[si + 1] - 1, l_r) - within
+        src = np.where(is_rc, src_rc, src_fwd)
+        vals = ppool[src]
+        flat_edges[dst] = np.where(is_rc, inv2[vals], vals)
+        fwd_r = rid[~place_rc[rid]]
+        rc_r = rid[place_rc[rid]]
+        start_off[fwd_r] = (
+            paths.start[fwd_r]
+            + starts[place_idx[fwd_r]]
+            - left_trunc[place_idx[fwd_r]]
+        )
+        start_off[rc_r] = (
+            paths.start[rc_r]
+            + stops[place_idx[rc_r]]
+            - right_trunc[place_idx[rc_r]]
+        )
     paths2 = ReadPathVec(offsets, flat_edges, start_off)
     return hbv2, paths2, d2
