@@ -106,3 +106,18 @@ def test_short_reads_get_empty_paths(rng):
     assert paths.path_len()[0] == 0
     assert int(paths.start[0]) == 0
     assert paths.path_len()[2] > 0
+
+
+def test_compact_matches_dense_on_fragmented_reads(rng):
+    """Reads with many alternating hit/miss runs must produce identical
+    paths through the compact top-k path and the dense fallback (a read
+    overflowing RUN_SLOTS switches the whole chunk to the dense path)."""
+    k = 15
+    g, reads, d, hbv, fx, rx = make_pipeline(rng, 2000, 120, k, err=0.08)
+    paths = pather.path_reads(reads, d, hbv, fx, rx, chunk_reads=128)
+    dense = pather.path_reads(
+        reads, d, hbv, fx, rx, chunk_reads=128, force_dense=True
+    )
+    np.testing.assert_array_equal(paths.offsets, dense.offsets)
+    np.testing.assert_array_equal(paths.edges, dense.edges)
+    np.testing.assert_array_equal(paths.start, dense.start)

@@ -331,7 +331,8 @@ def edge_tail_words(hbv):
 
 
 def path_reads(
-    reads, d, hbv, fwd_xlat, rev_xlat, chunk_reads: int = 262144
+    reads, d, hbv, fwd_xlat, rev_xlat, chunk_reads: int = 262144,
+    force_dense: bool = False,
 ) -> ReadPathVec:
     """Path every read through the HBV (step-2 read pathing).
 
@@ -376,7 +377,9 @@ def path_reads(
             fwd_x, rev_x, ekm_canon, k, n_iters, L,
         )
         nruns = np.asarray(nruns)
-        if int(nruns.max(initial=0)) <= int(pos_s.shape[1]):
+        if not force_dense and int(nruns.max(initial=0)) <= int(
+            pos_s.shape[1]
+        ):
             pe, offs, so = _decode_compact(
                 np.asarray(pos_s), np.asarray(e_s), np.asarray(off_s),
                 np.asarray(ekm_s), nruns, cl, k, tail_words,
