@@ -47,6 +47,9 @@ def main(argv=None):
                     help="extend places through solo edges in step 3")
     ap.add_argument("--dump_pf", action="store_true",
                     help="dump PathFinder-stage checkpoints in step 6")
+    ap.add_argument("--fill_join", action="store_true",
+                    help="step-2 fillGaps+joinOverlaps repair passes "
+                         "(FILL_JOIN, w2rap-contigger.cc:336)")
     ap.add_argument("--dev_run_test", default="",
                     choices=["", "pathfinder", "pathfinder2"],
                     help="replay step 6 from --dump_pf checkpoints")
@@ -115,6 +118,7 @@ def main(argv=None):
         pair_sample=args.pair_sample,
         extend_paths=args.extend_paths,
         dump_pf=args.dump_pf,
+        fill_join=args.fill_join,
     )
 
 

@@ -71,6 +71,7 @@ def run_pipeline(
     pair_sample: int = 200,
     extend_paths: bool = False,
     dump_pf: bool = False,
+    fill_join: bool = False,
 ):
     os.makedirs(out_dir, exist_ok=True)
     perf = PerfLog(f"{out_dir}/{prefix}.perf" if dump_perf else None)
@@ -122,6 +123,8 @@ def run_pipeline(
             disk_batches=disk_batches,
             tmp_dir=tmp_dir,
             max_mem_gb=max_mem_gb,
+            do_fill_gaps=fill_join,
+            do_join_overlaps=fill_join,
         )
         if dump_all or to_step == 2:
             hbv.save(f"{p}.small_K.hbv.npz")

@@ -25,6 +25,10 @@ def build_read_q_graph(
     disk_batches: int = 0,
     tmp_dir: str | None = None,
     max_mem_gb: int = 10000,
+    do_fill_gaps: bool = False,
+    do_join_overlaps: bool = False,
+    min_freq2_fract: float = 0.75,
+    max_gap_size: int = 0,
 ):
     """Returns (hbv, paths, dict) — graph, read paths, kmer dictionary.
 
@@ -33,6 +37,11 @@ def build_read_q_graph(
     createDictOMPDiskBased, BuildReadQGraph.cc:1120-1250); max_mem_gb is
     the SetMaxMemory analogue (System.cc:1027): when the estimated
     counting working set exceeds it, batching kicks in automatically.
+
+    do_fill_gaps / do_join_overlaps run the optional graph repair passes
+    (FILL_JOIN, off by default like the reference's hardcoded False at
+    w2rap-contigger.cc:336-338) with min_freq2 = max(2,
+    int(min_freq2_fract * min_freq + .5)) (BuildReadQGraph.cc:1286).
     """
     d, hist = ke.count_kmers_batched(
         reads.bases,
@@ -53,6 +62,20 @@ def build_read_q_graph(
 
     gb.recompute_adjacencies(d)
     edge_bases, edge_start = gb.build_unitigs(d)
+    if do_fill_gaps or do_join_overlaps:
+        from ..graph import gapfill
+
+        min_freq2 = max(2, int(min_freq2_fract * min_freq + 0.5))
+        if do_fill_gaps:
+            d, edge_bases, edge_start = gapfill.fill_gaps(
+                reads, d, edge_bases, edge_start,
+                max_gap_size, min_freq2, chunk_reads,
+            )
+        if do_join_overlaps:
+            d, edge_bases, edge_start = gapfill.join_overlaps(
+                reads, d, edge_bases, edge_start,
+                k // 2, min_freq2, chunk_reads,
+            )
     hbv, fwd_xlat, rev_xlat = gb.build_hbv_from_edges(edge_bases, edge_start, k)
 
     paths = pather.path_reads(
