@@ -112,6 +112,46 @@ def test_join_overlaps_bridges_small_gap():
     assert np.array_equal(seq, g) or np.array_equal(rc, g)
 
 
+def test_join_overlaps_bridges_small_gap_rc_reads():
+    # Same junction but the spanning reads arrive reverse-complemented:
+    # exercises the BRQ_Joiner::map swap/canonicalization branch that the
+    # forward-only test misses (BuildReadQGraph.cc:707-712).
+    g = _genome(300)
+    span = g[100:200]
+    span_rc = (3 - span[::-1]).astype(np.uint8)
+    seqs = [g[0:160]] * 6 + [g[140:300]] * 6 + [span_rc] * 3
+    quals = [np.full(len(x), 35, np.uint8) for x in seqs]
+    reads = ReadSet.from_sequences(seqs, quals)
+    d, eb, es = _dict_and_edges(reads)
+    assert len(es) - 1 == 2
+    d2, eb2, es2 = gapfill.join_overlaps(reads, d, eb, es, K // 2, 3)
+    assert len(es2) - 1 == 1
+    seq = eb2[es2[0] : es2[1]]
+    rc = (3 - seq[::-1]).astype(np.uint8)
+    assert np.array_equal(seq, g) or np.array_equal(rc, g)
+
+
+def test_join_overlaps_bridges_random_orientations():
+    # 8 random genomes, spanning reads in fwd or rc orientation at
+    # random: both canonicalization branches must produce one edge.
+    for seed in range(8):
+        rng = np.random.default_rng(100 + seed)
+        g = rng.integers(0, 4, size=300).astype(np.uint8)
+        span = g[100:200]
+        if seed % 2:
+            span = (3 - span[::-1]).astype(np.uint8)
+        seqs = [g[0:160]] * 6 + [g[140:300]] * 6 + [span] * 3
+        quals = [np.full(len(x), 35, np.uint8) for x in seqs]
+        reads = ReadSet.from_sequences(seqs, quals)
+        d, eb, es = _dict_and_edges(reads)
+        if len(es) - 1 != 2:
+            continue  # genome happened to share kmers; junction not clean
+        d2, eb2, es2 = gapfill.join_overlaps(
+            reads, d, eb, es, K // 2, 3
+        )
+        assert len(es2) - 1 == 1, f"seed {seed} failed to join"
+
+
 def test_join_overlaps_gap_size_gate():
     g = _genome(300)
     # gap of ~21 positions > K/2=16 -> join not attempted

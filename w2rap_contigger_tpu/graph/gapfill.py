@@ -278,7 +278,9 @@ def join_overlaps(
     jo1 = np.where(swap, ekm[ip1] - o2 - 1, o1)
     je2 = np.where(swap, e1, e2)
     jrc2 = np.where(swap, ~rc1, rc2)
-    jo2 = np.where(swap, ekm[im1] - (o1 + plen[im1]), o2)
+    # prev.rc().firstLoc() = ekm - lastLoc - 1 (PathPart::rc(),
+    # BuildReadQGraph.cc:477-479, used by BRQ_Joiner::map :708-710)
+    jo2 = np.where(swap, ekm[im1] - o1 - 1, o2)
 
     keys = np.stack(
         [je1, jrc1.astype(np.int64), jo1, je2, jrc2.astype(np.int64),
