@@ -8,8 +8,6 @@ from w2rap_contigger_tpu.parallel import mesh as pmesh
 
 def test_sharded_count_matches_single_device(rng):
     import jax
-    import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     assert len(jax.devices()) >= 8
     mesh = pmesh.make_mesh(8)
@@ -19,19 +17,53 @@ def test_sharded_count_matches_single_device(rng):
     lengths = np.full(n, L, dtype=np.int32)
     quals = np.full((n, L), 35, dtype=np.uint8)
 
-    sh = NamedSharding(mesh, P(pmesh.AXIS))
-    b = jax.device_put(jnp.asarray(bases), sh)
-    l = jax.device_put(jnp.asarray(lengths), sh)
-    q = jax.device_put(jnp.asarray(quals), sh)
-    ow, ocnt, hist = pmesh.sharded_count_kmers_step(b, l, q, k, mesh)
-
+    d_sh, hist = pmesh.count_kmers_sharded(
+        bases, lengths, quals, k, mesh, min_freq=1, chunk_reads=8
+    )
     d, hist_ref = ke.count_kmers(
         bases, lengths, quals, k, min_freq=1, pad_quantum=1024
     )
-    # global unique kmer count matches
-    assert int(np.asarray(hist).sum()) == d.size
-    # histogram matches exactly
+    assert d_sh.size == d.size
     np.testing.assert_array_equal(np.asarray(hist)[1:101], hist_ref[1:101])
+
+
+def test_sharded_pathing_and_flat_count(rng):
+    """Sharded read pathing + sharded flat K2 counting are bit-identical
+    to single-chip (the production multi-chip steps 2->3)."""
+    import jax
+
+    from w2rap_contigger_tpu.core.reads import ReadSet
+    from w2rap_contigger_tpu.pipeline import step2_small_k, step3_repath
+
+    assert len(jax.devices()) >= 8
+    mesh = pmesh.make_mesh(8)
+    genome = rng.integers(0, 4, size=2000).astype(np.uint8)
+    n, L = 256, 150
+    starts = rng.integers(0, len(genome) - L, size=n)
+    seqs = [genome[s : s + L] for s in starts]
+    quals = [np.full(L, 35, np.uint8) for _ in seqs]
+    reads = ReadSet.from_sequences(seqs, quals)
+
+    hbv_sh, paths_sh, _ = step2_small_k.build_read_q_graph(
+        reads, chunk_reads=64, mesh=mesh, min_freq=2
+    )
+    hbv_1, paths_1, _ = step2_small_k.build_read_q_graph(
+        reads, chunk_reads=512, min_freq=2
+    )
+    np.testing.assert_array_equal(hbv_sh.edge_bases, hbv_1.edge_bases)
+    np.testing.assert_array_equal(paths_sh.offsets, paths_1.offsets)
+    np.testing.assert_array_equal(paths_sh.edges, paths_1.edges)
+    np.testing.assert_array_equal(paths_sh.start, paths_1.start)
+
+    # K2=128 keeps the multiword (W=8) path while halving CPU-mesh
+    # compile time; the graft-entry dryrun covers K2=200
+    hbv2_sh, paths2_sh, _ = step3_repath.repath(
+        hbv_sh, paths_sh, 128, mesh=mesh
+    )
+    hbv2_1, paths2_1, _ = step3_repath.repath(hbv_1, paths_1, 128)
+    np.testing.assert_array_equal(hbv2_sh.edge_bases, hbv2_1.edge_bases)
+    np.testing.assert_array_equal(hbv2_sh.inv, hbv2_1.inv)
+    np.testing.assert_array_equal(paths2_sh.edges, paths2_1.edges)
 
 
 def test_graft_entry_single_and_multi():

@@ -50,6 +50,9 @@ def main(argv=None):
     ap.add_argument("--fill_join", action="store_true",
                     help="step-2 fillGaps+joinOverlaps repair passes "
                          "(FILL_JOIN, w2rap-contigger.cc:336)")
+    ap.add_argument("--shard", type=int, default=-1,
+                    help="multi-chip sharding: -1 auto (all devices when "
+                         ">1 visible), 0 off, N force N-device mesh")
     ap.add_argument("--dev_run_test", default="",
                     choices=["", "pathfinder", "pathfinder2"],
                     help="replay step 6 from --dump_pf checkpoints")
@@ -119,6 +122,7 @@ def main(argv=None):
         extend_paths=args.extend_paths,
         dump_pf=args.dump_pf,
         fill_join=args.fill_join,
+        shard_devices=args.shard,
     )
 
 

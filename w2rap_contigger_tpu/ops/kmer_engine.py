@@ -231,8 +231,7 @@ def _collapse_sorted(sw, sctx, scnt, w):
     return out_words, out_ctx, out_cnt, n_unique
 
 
-@functools.partial(jax.jit, static_argnames=("w",))
-def sort_collapse_leaf(words, ctx, w: int):
+def _sort_collapse_leaf_impl(words, ctx, w: int):
     """Leaf-level sort+collapse: every row has implicit count 1 (invalid
     rows are all-FULL sentinels and count as 0).  One fewer sort operand
     than the merge form — the leaf sorts dominate total work."""
@@ -244,6 +243,11 @@ def sort_collapse_leaf(words, ctx, w: int):
     sentinel = bk.words_eq(sw, jnp.full((1, w), FULL, dtype=jnp.uint32))
     scnt = (~sentinel).astype(jnp.int32)
     return _collapse_sorted(sw, sctx, scnt, w)
+
+
+sort_collapse_leaf = functools.partial(jax.jit, static_argnames=("w",))(
+    _sort_collapse_leaf_impl
+)
 
 
 @functools.partial(jax.jit, static_argnames=("w",))
@@ -495,8 +499,7 @@ def count_kmers(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def kmerize_flat_chunk(bases, valid, has_pred, has_succ, pred_code, succ_code, k: int):
+def _kmerize_flat_impl(bases, valid, has_pred, has_succ, pred_code, succ_code, k: int):
     """Kmerize a flat base chunk.
 
     bases: (C + 16*ceil(k/16),) uint8 — positions p in [0, C) use window
@@ -519,6 +522,11 @@ def kmerize_flat_chunk(bases, valid, has_pred, has_succ, pred_code, succ_code, k
     return canon, ctx, valid
 
 
+kmerize_flat_chunk = functools.partial(jax.jit, static_argnames=("k",))(
+    _kmerize_flat_impl
+)
+
+
 def count_kmers_flat(
     flat_bases,
     seg_offsets,
@@ -528,6 +536,7 @@ def count_kmers_flat(
     pad_quantum: int = PAD_QUANTUM,
     device_pipeline: bool | None = None,
     interpret: bool = False,
+    mesh=None,
 ):
     """Count canonical kmers over concatenated sequences.
 
@@ -539,6 +548,13 @@ def count_kmers_flat(
     chunk_pos defaults shrink with k: the TPU backend's compile time
     scales with tensor volume, and W=13-lane kernels at K=200 only
     compile in reasonable time at ~0.5M-position chunks.
+
+    mesh: optional jax.sharding.Mesh — position chunks are farmed out
+    D at a time, one per chip (kmerize + leaf sort+collapse run per-chip
+    under shard_map; the sorted unique runs are host-merged exactly like
+    the single-chip path, so the result is bit-identical).  This is the
+    multi-chip analogue of the reference's OMP task tree in the K2
+    rebuild (BigKPather.cc:461-537 omp fill).
     """
     if chunk_pos is None:
         chunk_pos = (1 << 21) if k <= 64 else (1 << 19)
@@ -549,20 +565,24 @@ def count_kmers_flat(
         return KmerDict(empty, np.zeros(0, np.int32), np.zeros(0, np.uint32), k)
 
     n_pos = T - k + 1
+    # small inputs: shrink the chunk onto the octave grid instead of
+    # padding a tiny sequence pool to the full chunk (the pad rows cost
+    # as much as real rows in the sort)
+    chunk_pos = min(chunk_pos, _quantize_octave(n_pos, 4096))
     # segment id per position (host, vectorized)
     seg_of = np.searchsorted(seg_offsets, np.arange(T), side="right") - 1
     seg_end = seg_offsets[seg_of + 1]
     seg_start = seg_offsets[seg_of]
 
     if device_pipeline is None:
-        device_pipeline = (not interpret) and jax.default_backend() == "tpu"
+        device_pipeline = (
+            (not interpret) and mesh is None
+            and jax.default_backend() == "tpu"
+        )
 
-    runs = []
-    word_parts = [[] for _ in range(W)]
-    payload_parts = []
-    n_rows_total = 0
     halo = 16 * ((k + 15) // 16)
-    for st in range(0, n_pos, chunk_pos):
+
+    def chunk_inputs(st):
         C = min(chunk_pos, n_pos - st)
         Cpad = chunk_pos
         cb = np.zeros(Cpad + halo, dtype=np.uint8)
@@ -575,6 +595,51 @@ def count_kmers_flat(
         hs = valid & (pos + k < seg_end[posc])
         pc = flat_bases[np.maximum(posc - 1, 0)]
         sc = flat_bases[np.minimum(posc + k, T - 1)]
+        return cb, valid, hp, hs, pc, sc
+
+    starts_all = list(range(0, n_pos, chunk_pos))
+
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+
+        runs = []
+        D = mesh.shape[pmesh.AXIS]
+        for gi in range(0, len(starts_all), D):
+            group = starts_all[gi : gi + D]
+            ins = [chunk_inputs(st) for st in group]
+            while len(ins) < D:  # pad group with all-invalid chunks
+                z = chunk_inputs(group[-1])
+                ins.append((z[0], np.zeros_like(z[1]), np.zeros_like(z[2]),
+                            np.zeros_like(z[3]), z[4], z[5]))
+            stacked = [np.stack([c[j] for c in ins]) for j in range(6)]
+            ow, octx, ocnt, nu = pmesh.flat_leaf_sharded(
+                mesh, *[jnp.asarray(s) for s in stacked], k=k
+            )
+            nu = np.asarray(nu).reshape(-1)
+            ow = np.asarray(ow)
+            octx = np.asarray(octx)
+            ocnt = np.asarray(ocnt)
+            for di in range(len(group)):
+                m = int(nu[di])
+                runs.append((ow[di, :m], octx[di, :m], ocnt[di, :m]))
+        if not runs:
+            empty = np.zeros((0, W), dtype=np.uint32)
+            return KmerDict(
+                empty, np.zeros(0, np.int32), np.zeros(0, np.uint32), k
+            )
+        words, ctx, cnt = _host_merge_all(runs)
+        keep = cnt >= min_freq
+        return KmerDict(
+            words[keep], cnt[keep].astype(np.int32),
+            ctx[keep].astype(np.uint32), k,
+        )
+
+    runs = []
+    word_parts = [[] for _ in range(W)]
+    payload_parts = []
+    n_rows_total = 0
+    for st in starts_all:
+        cb, valid, hp, hs, pc, sc = chunk_inputs(st)
         cw, cctx, cvalid = kmerize_flat_chunk(
             jnp.asarray(cb),
             jnp.asarray(valid),

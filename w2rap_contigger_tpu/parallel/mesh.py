@@ -36,6 +36,30 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), (AXIS,))
 
 
+def auto_mesh(shard_devices: int = -1) -> Mesh | None:
+    """Production mesh selection for the pipeline driver.
+
+    shard_devices: -1 = auto (shard over all devices when more than one
+    is visible), 0 = force single-chip, N>1 = force an N-device mesh.
+    The env var W2RAP_SHARD overrides (same encoding).  Device counts
+    are clamped to the largest power of two <= available so read-chunk
+    quanta (multiples of 1024) always divide evenly.
+    """
+    import os
+
+    env = os.environ.get("W2RAP_SHARD")
+    if env is not None:
+        shard_devices = int(env)
+    if shard_devices == 0:
+        return None
+    avail = len(jax.devices())
+    want = avail if shard_devices < 0 else min(shard_devices, avail)
+    if want <= 1:
+        return None
+    d = 1 << (want.bit_length() - 1)  # largest pow2 <= want
+    return make_mesh(d) if d > 1 else None
+
+
 def _bucket_of(words, n_buckets):
     """Cheap mixing hash of the leading kmer word -> bucket id.
 
@@ -79,6 +103,11 @@ def count_kmers_sharded(
     L = bases.shape[1]
     W = bk.nwords(k)
     P_pos = L - k + 1
+    # clamp the per-chip chunk to the (octave-quantized) actual load so
+    # small inputs don't pad to the full production chunk
+    chunk_reads = min(
+        chunk_reads, ke._quantize_octave(max(1, -(-n // D)), 128)
+    )
     chunk = chunk_reads * D
 
     runs = []
@@ -183,69 +212,54 @@ def _sharded_chunk_step(bases, lengths, quals, k, mesh, min_qual, cap):
     return step(bases, lengths, quals)
 
 
-def sharded_count_kmers_step(bases, lengths, quals, k: int, mesh: Mesh,
-                             min_qual: int = 7, cap_per_bucket: int | None = None):
-    """One sharded counting step under shard_map (the multi-chip hot path).
-
-    bases: (D*n, L) sharded on axis 0; returns per-chip sorted unique
-    kmers for its hash range (fixed capacity) + the global histogram.
-    Used by dryrun_multichip and as the building block for the multi-chip
-    pipeline; single-chip production uses ops.kmer_engine directly.
-    """
-    D = mesh.shape[AXIS]
-    n, L = bases.shape
-    P_pos = L - k + 1
+def flat_leaf_sharded(mesh: Mesh, cb, valid, hp, hs, pc, sc, k: int):
+    """One group of D flat-position chunks, kmerized + leaf-sorted one
+    per chip (step-3 K2 counting fan-out; the host merges the returned
+    runs).  Inputs are stacked (D, ...) host arrays; returns per-chip
+    (sorted unique words (D, C, W), ctx (D, C), counts (D, C),
+    n_unique (D,))."""
     W = bk.nwords(k)
-    per = n // D
-    cap = cap_per_bucket or ((per * P_pos + D - 1) // D * 2)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(jax.P(AXIS), jax.P(AXIS), jax.P(AXIS)),
-        out_specs=(jax.P(AXIS), jax.P(AXIS), jax.P()),
+        in_specs=(jax.P(AXIS),) * 6,
+        out_specs=(jax.P(AXIS),) * 4,
+        check_vma=False,  # per-chip only; no collectives inside
     )
-    def step(b, l, q):
-        words, ctx, valid = ke.kmerize_chunk(b, l, q, k, min_qual)
-        M = words.shape[0]
-        bucket = _bucket_of(words, D)
-        bucket = jnp.where(valid, bucket, D)  # invalid -> dropped
+    def step(b, v, p_, s_, pcd, scd):
+        cw, cctx, _ = ke._kmerize_flat_impl(
+            b[0], v[0], p_[0], s_[0], pcd[0], scd[0], k
+        )
+        ow, octx, ocnt, nu = ke._sort_collapse_leaf_impl(cw, cctx, W)
+        return ow[None], octx[None], ocnt[None], nu[None, None]
 
-        # stable sort rows by bucket so each destination's slice is
-        # contiguous, then pad each bucket to fixed capacity
-        order = jnp.argsort(bucket, stable=True)
-        sw = words[order]
-        sctx = ctx[order]
-        sb = bucket[order]
-        counts = jnp.bincount(sb, length=D + 1)[:D]
-        starts = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts).astype(jnp.int32)[:-1]]
+    return step(cb, valid, hp, hs, pc, sc)
+
+
+def make_lookup_compact_sharded(mesh: Mesh, k: int, n_iters: int, L: int):
+    """Sharded read-pathing lookup: reads data-parallel on the mesh,
+    dictionary + translation tables replicated (the multi-chip form of
+    path_reads_OMP, BuildReadQGraph.cc:829-940).  Returns a function with
+    the same signature/outputs as pather._lookup_compact_chunk minus the
+    static args."""
+    from ..paths import pather as _pather
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            jax.P(AXIS), jax.P(AXIS),
+            jax.P(), jax.P(), jax.P(), jax.P(), jax.P(), jax.P(), jax.P(),
+        ),
+        out_specs=(jax.P(AXIS),) * 5,
+        check_vma=False,  # scan carries start replicated; no collectives
+    )
+    def step(packed, lengths, table_t, kdef_edge, kdef_off, kdef_rc,
+             fwd_x, rev_x, ekm):
+        return _pather._lookup_compact_impl(
+            packed, lengths, table_t, kdef_edge, kdef_off, kdef_rc,
+            fwd_x, rev_x, ekm, k, n_iters, L,
         )
 
-        # gather into (D, cap, W) send buffer
-        idx = starts[:, None] + jnp.arange(cap)[None, :]
-        within = jnp.arange(cap)[None, :] < counts[:, None]
-        idxc = jnp.clip(idx, 0, M - 1)
-        send_w = jnp.where(within[..., None], sw[idxc], ke.FULL)
-        send_c = jnp.where(within, sctx[idxc], 0)
-        send_n = within.astype(jnp.int32)
-
-        # all-to-all over ICI: chip d receives every chip's bucket d
-        recv_w = jax.lax.all_to_all(send_w, AXIS, 0, 0, tiled=False)
-        recv_c = jax.lax.all_to_all(send_c, AXIS, 0, 0, tiled=False)
-        recv_n = jax.lax.all_to_all(send_n, AXIS, 0, 0, tiled=False)
-
-        rw = recv_w.reshape(D * cap, W)
-        rc = recv_c.reshape(D * cap)
-        rn = recv_n.reshape(D * cap)
-        ow, octx, ocnt, nu = ke.sort_collapse(rw, rc, rn, W)
-
-        hist = jnp.zeros(101, dtype=jnp.int32)
-        hist = hist.at[jnp.clip(ocnt, 0, 100)].add(
-            (ocnt > 0).astype(jnp.int32)
-        )
-        hist = hist.at[0].set(0)
-        hist = jax.lax.psum(hist, AXIS)
-        return ow, ocnt, hist
-
-    return step(bases, lengths, quals)
+    return step

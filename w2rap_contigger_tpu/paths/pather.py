@@ -93,8 +93,7 @@ def _lookup_chunk(
 RUN_SLOTS = 24  # per-read run-start capacity of the compact download
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_iters", "L"))
-def _lookup_compact_chunk(
+def _lookup_compact_impl(
     packed,
     lengths,
     table_t,
@@ -145,6 +144,11 @@ def _lookup_compact_chunk(
     off_s = jnp.take_along_axis(off, idx_s, axis=1)
     ekm_s = jnp.take_along_axis(ekm_e, idx_s, axis=1)
     return pos_s, e_s, off_s, ekm_s, nruns
+
+
+_lookup_compact_chunk = functools.partial(
+    jax.jit, static_argnames=("k", "n_iters", "L")
+)(_lookup_compact_impl)
 
 
 def _decode_chunk(hbv_e, off, ekm, lengths, k, tail_words, tail_W):
@@ -332,12 +336,19 @@ def edge_tail_words(hbv):
 
 def path_reads(
     reads, d, hbv, fwd_xlat, rev_xlat, chunk_reads: int = 262144,
-    force_dense: bool = False,
+    force_dense: bool = False, mesh=None,
 ) -> ReadPathVec:
     """Path every read through the HBV (step-2 read pathing).
 
     reads: core.reads.ReadSet; d: KmerDict with edge_id/offset/rc filled;
     hbv + xlat from graph.build.build_hbv_from_edges.
+
+    mesh: optional jax.sharding.Mesh — pathing is embarrassingly
+    data-parallel over reads (the reference's path_reads_OMP,
+    BuildReadQGraph.cc:829-940): each chip looks up its read shard
+    against the replicated dictionary under shard_map; the compact
+    run-start decode stays on host and is order-identical, so the
+    resulting paths are bit-identical to single-chip.
     """
     k = d.k
     n = reads.n_reads
@@ -356,6 +367,13 @@ def path_reads(
     )
     tail_words = edge_tail_words(hbv)
 
+    lookup_fn = None
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+
+        D = mesh.shape[pmesh.AXIS]
+        lookup_fn = pmesh.make_lookup_compact_sharded(mesh, k, n_iters, L)
+
     all_edges = []
     all_offs = []
     all_start = []
@@ -372,10 +390,16 @@ def path_reads(
         cl[: stop - start] = reads.lengths[start:stop]
         dp = jnp.asarray(pack_rows_host(cb))
         dl = jnp.asarray(cl)
-        pos_s, e_s, off_s, ekm_s, nruns = _lookup_compact_chunk(
-            dp, dl, table_t, kdef_edge, kdef_off, kdef_rc,
-            fwd_x, rev_x, ekm_canon, k, n_iters, L,
-        )
+        if lookup_fn is not None and nb % D == 0:
+            pos_s, e_s, off_s, ekm_s, nruns = lookup_fn(
+                dp, dl, table_t, kdef_edge, kdef_off, kdef_rc,
+                fwd_x, rev_x, ekm_canon,
+            )
+        else:
+            pos_s, e_s, off_s, ekm_s, nruns = _lookup_compact_chunk(
+                dp, dl, table_t, kdef_edge, kdef_off, kdef_rc,
+                fwd_x, rev_x, ekm_canon, k, n_iters, L,
+            )
         nruns = np.asarray(nruns)
         if not force_dense and int(nruns.max(initial=0)) <= int(
             pos_s.shape[1]

@@ -72,10 +72,21 @@ def run_pipeline(
     extend_paths: bool = False,
     dump_pf: bool = False,
     fill_join: bool = False,
+    shard_devices: int = -1,
 ):
     os.makedirs(out_dir, exist_ok=True)
     perf = PerfLog(f"{out_dir}/{prefix}.perf" if dump_perf else None)
     p = f"{out_dir}/{prefix}"
+
+    # Multi-chip mesh (production): shard step-2 counting + pathing and
+    # step-3 K2 counting across every visible device.  -1 = auto (shard
+    # iff >1 device), 0 = off, N = force N devices (W2RAP_SHARD env
+    # overrides).  Results are bit-identical either way.
+    from ..parallel import mesh as pmesh
+
+    mesh = pmesh.auto_mesh(shard_devices)
+    if mesh is not None:
+        print(f"sharding over {mesh.shape[pmesh.AXIS]} devices")
 
     # SetThreads analogue (DiscovarTools.cc:468): caps the host-side
     # BLAS/numpy thread pools; XLA device parallelism is unaffected.
@@ -125,6 +136,7 @@ def run_pipeline(
             max_mem_gb=max_mem_gb,
             do_fill_gaps=fill_join,
             do_join_overlaps=fill_join,
+            mesh=mesh,
         )
         if dump_all or to_step == 2:
             hbv.save(f"{p}.small_K.hbv.npz")
@@ -137,7 +149,7 @@ def run_pipeline(
     # ---- step 3: repath to large K -----------------------------------
     if from_step <= 3 <= to_step:
         hbv, paths, _d2 = step3_repath.repath(
-            hbv, paths, large_k, extend_paths=extend_paths
+            hbv, paths, large_k, extend_paths=extend_paths, mesh=mesh
         )
         if dump_all or to_step == 3:
             hbv.save(f"{p}.large_K.hbv.npz")

@@ -29,6 +29,7 @@ def build_read_q_graph(
     do_join_overlaps: bool = False,
     min_freq2_fract: float = 0.75,
     max_gap_size: int = 0,
+    mesh=None,
 ):
     """Returns (hbv, paths, dict) — graph, read paths, kmer dictionary.
 
@@ -42,19 +43,39 @@ def build_read_q_graph(
     (FILL_JOIN, off by default like the reference's hardcoded False at
     w2rap-contigger.cc:336-338) with min_freq2 = max(2,
     int(min_freq2_fract * min_freq + .5)) (BuildReadQGraph.cc:1286).
+
+    mesh: optional jax.sharding.Mesh — when given (driver auto-detects
+    multiple devices, --shard flag), counting runs multi-chip via an
+    all-to-all by kmer-hash range (parallel.mesh.count_kmers_sharded)
+    and read pathing runs data-parallel over chips; results are
+    bit-identical to single-chip.
     """
-    d, hist = ke.count_kmers_batched(
-        reads.bases,
-        reads.lengths,
-        reads.quals,
-        k,
-        min_qual=min_qual,
-        min_freq=min_freq,
-        chunk_reads=chunk_reads,
-        disk_batches=disk_batches,
-        tmp_dir=tmp_dir,
-        max_mem_gb=max_mem_gb,
-    )
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+
+        d, hist = pmesh.count_kmers_sharded(
+            reads.bases,
+            reads.lengths,
+            reads.quals,
+            k,
+            mesh,
+            min_qual=min_qual,
+            min_freq=min_freq,
+            chunk_reads=chunk_reads,
+        )
+    else:
+        d, hist = ke.count_kmers_batched(
+            reads.bases,
+            reads.lengths,
+            reads.quals,
+            k,
+            min_qual=min_qual,
+            min_freq=min_freq,
+            chunk_reads=chunk_reads,
+            disk_batches=disk_batches,
+            tmp_dir=tmp_dir,
+            max_mem_gb=max_mem_gb,
+        )
     if workdir:
         with open(f"{workdir}/small_K.freqs", "w") as f:
             for i in range(1, 101):
@@ -79,7 +100,8 @@ def build_read_q_graph(
     hbv, fwd_xlat, rev_xlat = gb.build_hbv_from_edges(edge_bases, edge_start, k)
 
     paths = pather.path_reads(
-        reads, d, hbv, fwd_xlat, rev_xlat, chunk_reads=chunk_reads
+        reads, d, hbv, fwd_xlat, rev_xlat, chunk_reads=chunk_reads,
+        mesh=mesh,
     )
     paths = extend.extend_paths(reads, paths, hbv)
     return hbv, paths, d

@@ -23,7 +23,7 @@ from ..paths import flat_pather
 from ..paths.read_paths import ReadPathVec
 
 
-def repath(hbv, paths, k2: int, extend_paths: bool = False):
+def repath(hbv, paths, k2: int, extend_paths: bool = False, mesh=None):
     """Returns (hbv2, paths2, dict2).
 
     extend_paths mirrors the reference's EXTEND_PATHS branch
@@ -31,6 +31,10 @@ def repath(hbv, paths, k2: int, extend_paths: bool = False):
     solo in-edge on the left and one solo out-edge on the right (the
     reference loop re-tests the same vertex, so it never walks further),
     and the extended copies join the place pool for the K2 graph.
+
+    mesh: optional jax.sharding.Mesh — the K2 dictionary build (the
+    step's compute wall at W=13-17 words) fans position chunks out one
+    per chip; bit-identical to single-chip.
     """
     k = hbv.k
     inv = hbv.inv
@@ -165,7 +169,7 @@ def repath(hbv, paths, k2: int, extend_paths: bool = False):
     flat = np.concatenate(seq_list) if seq_list else np.zeros(0, np.uint8)
 
     # ---- K2 graph -----------------------------------------------------
-    d2 = ke.count_kmers_flat(flat, seg_offsets, k2, min_freq=1)
+    d2 = ke.count_kmers_flat(flat, seg_offsets, k2, min_freq=1, mesh=mesh)
     gb.recompute_adjacencies(d2)
     eb, es = gb.build_unitigs(d2)
     hbv2, fx2, rx2 = gb.build_hbv_from_edges(eb, es, k2)
