@@ -79,3 +79,27 @@ def test_pallas_kmerize_ragged_tile(rng):
     p = _collapsed(pw, pctx, W)
     for a, b in zip(r, p):
         np.testing.assert_array_equal(a, b)
+
+
+def test_pack_and_glen_native_matches_numpy(rng):
+    # the C++ pack+glen pass must match the numpy mirrors (and the jax
+    # good_lengths) bit for bit, including short final words and
+    # truncated lengths
+    for n, L in [(7, 250), (256, 250), (64, 37)]:
+        bases = rng.integers(0, 4, size=(n, L)).astype(np.uint8)
+        quals = rng.integers(0, 40, size=(n, L)).astype(np.uint8)
+        lengths = rng.integers(0, L + 1, size=n).astype(np.int32)
+        for k, mq in [(60, 7), (21, 20)]:
+            p1, g1 = pk.pack_and_glen_host(bases, quals, lengths, k, mq)
+            assert np.array_equal(p1, pk.pack_rows_host(bases))
+            assert np.array_equal(
+                g1, pk.good_lengths_host(quals, lengths, k, mq)
+            )
+            import jax.numpy as jnp
+
+            g_jax = np.asarray(
+                ke.good_lengths(
+                    jnp.asarray(quals), jnp.asarray(lengths), k, mq
+                )
+            )
+            assert np.array_equal(g1, g_jax)

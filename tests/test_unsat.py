@@ -55,6 +55,56 @@ def test_unsat_finds_gap_cluster(rng):
     assert LR
 
 
+def _satisfiable_literal(v, w, fo, fe, to_right):
+    """Literal transcription of the reference BFS (Unsat.cc:148-186):
+    duplicate frontier entries kept, MAX_VERTS counted over them."""
+    sat = False
+    s = [v]
+    for _ in range(step5_gaps.MAX_DEPTH):
+        s2 = []
+        for x in s:
+            for e in fe[fo[x] : fo[x + 1]]:
+                y = int(to_right[e])
+                if y == w:
+                    sat = True
+                    break
+                s2.append(y)
+            if sat:
+                break
+        if sat or len(s2) > step5_gaps.MAX_VERTS:
+            break
+        s = s2
+    return sat
+
+
+def test_satisfiable_batch_matches_literal(rng):
+    # random sparse digraphs, including high-degree hubs that trigger
+    # the MAX_VERTS duplicate-counting overflow
+    for trial in range(8):
+        nv = int(rng.integers(5, 60))
+        ne = int(rng.integers(nv, 4 * nv))
+        src = rng.integers(0, nv, size=ne)
+        dst = rng.integers(0, nv, size=ne)
+        order = np.argsort(src, kind="stable")
+        src, dst = src[order], dst[order]
+        fo = np.zeros(nv + 1, dtype=np.int64)
+        np.add.at(fo, src + 1, 1)
+        fo = np.cumsum(fo)
+        fe = np.arange(ne, dtype=np.int64)  # edge id = flat position
+        to_right = dst.astype(np.int64)
+        P = 40
+        vs = rng.integers(0, nv, size=P).astype(np.int64)
+        ws = rng.integers(0, nv, size=P).astype(np.int64)
+        got = step5_gaps._satisfiable_batch(vs, ws, fo, fe, to_right)
+        want = np.array(
+            [
+                _satisfiable_literal(int(v), int(w), fo, fe, to_right)
+                for v, w in zip(vs, ws)
+            ]
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+
 def test_unsat_clean_genome_empty(rng):
     # fully covered genome: no unsatisfied clusters
     k, rlen, insert = 21, 100, 400

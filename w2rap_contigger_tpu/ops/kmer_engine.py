@@ -753,16 +753,15 @@ def count_kmers_device(
         from . import pallas_kmer as _pk
 
         def kmerize(cb, cl, cq):
-            # packed upload: 2-bit bases (4x) + 1-bit qual mask (8x)
-            # instead of byte codes — the host->device transfer is the
-            # e2e bottleneck on tunneled links
-            pr = _pk.pack_rows_host(cb)
-            mask = np.packbits(cq >= np.uint8(min_qual), axis=1,
-                               bitorder="little")
-            glen = _pk.good_lengths_mask(
-                jnp.asarray(mask), jnp.asarray(cl), k, L
+            # packed upload: 2-bit bases (4x fewer bytes) + per-read
+            # usable length, both computed by one C++ pass — no qual
+            # plane crosses the link and no device-side good_lengths
+            # recomputation (host->device transfer is the e2e
+            # bottleneck on tunneled links)
+            pr, glen = _pk.pack_and_glen_host(cb, cq, cl, k, min_qual)
+            return _pk.kmerize_packed_pallas(
+                jnp.asarray(pr), jnp.asarray(glen), L, k
             )
-            return _pk.kmerize_packed_pallas(jnp.asarray(pr), glen, L, k)
 
     else:
         def kmerize(cb, cl, cq):

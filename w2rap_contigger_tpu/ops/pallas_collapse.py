@@ -283,14 +283,22 @@ def gather_unique(out_planes, counts, tile_rows=None):
     if n_q > n_real:
         src = np.concatenate([src, np.zeros(n_q - n_real, np.int32)])
     src_d = jnp.asarray(src)
-    rowsets = [
-        np.asarray(jnp.take(p.reshape(-1, LANES), src_d, axis=0)).reshape(
-            -1
-        )[: n_real * LANES]
-        for p in out_planes
+    taken = [
+        jnp.take(p.reshape(-1, LANES), src_d, axis=0) for p in out_planes[:W]
     ]
+    # payload uses only the low 16 bits (ctx<<8 | cnt): truncate on
+    # device so half as many payload bytes cross the link
+    taken.append(
+        jnp.take(out_planes[W].reshape(-1, LANES), src_d, axis=0).astype(
+            jnp.uint16
+        )
+    )
+    # one device_get fetches all planes (transfers overlap instead of
+    # paying one link round trip per plane)
+    hosts = jax.device_get(taken)
+    rowsets = [h.reshape(-1)[: n_real * LANES] for h in hosts]
     words = np.stack(rowsets[:W], axis=-1)
-    payload = rowsets[W]
+    payload = rowsets[W].astype(np.uint32)
     sent = np.all(words == FULL, axis=-1)
     words = words[~sent]
     payload = payload[~sent]

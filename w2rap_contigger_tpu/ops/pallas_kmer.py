@@ -161,6 +161,61 @@ def pack_rows_host(bases):
     ).astype(np.uint32)
 
 
+def good_lengths_host(quals, lengths, k: int, min_qual: int):
+    """numpy mirror of kmer_engine.good_lengths (count_good_lengths,
+    BuildReadQGraph.cc:962-987)."""
+    quals = np.asarray(quals)
+    n, L = quals.shape
+    pos = np.arange(L, dtype=np.int32)[None, :]
+    good = (quals >= np.uint8(min_qual)) & (pos < np.asarray(lengths)[:, None])
+    badpos = np.where(good, np.int32(L), pos)
+    next_bad = np.minimum.accumulate(badpos[:, ::-1], axis=1)[:, ::-1]
+    run = next_bad - pos
+    i_max = np.max(np.where(run >= k, pos, -1), axis=1)
+    return np.where(i_max >= 0, i_max + k, 0).astype(np.int32)
+
+
+def pack_and_glen_host(bases, quals, lengths, k: int, min_qual: int):
+    """Host-side 2-bit packing + usable-prefix lengths in one C++ pass.
+
+    The packed-upload path ships (packed bases, glen) to the device —
+    4x fewer base bytes than byte codes and no qual plane at all; glen
+    replaces the device-side good_lengths recomputation.  Falls back to
+    the numpy mirrors when no toolchain is available.
+    """
+    import ctypes
+
+    from .. import native
+
+    bases = np.ascontiguousarray(bases, dtype=np.uint8)
+    quals = np.ascontiguousarray(quals, dtype=np.uint8)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    n, L = bases.shape
+    Wr = (L + 15) // 16
+    lib = native.load("w2rappack", ["pack_kernel.cc"])
+    if lib is None:
+        return (
+            pack_rows_host(bases),
+            good_lengths_host(quals, lengths, k, min_qual),
+        )
+    packed = np.empty((n, Wr), dtype=np.uint32)
+    glen = np.empty(n, dtype=np.int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.w2rap_pack_glen(
+        bases.ctypes.data_as(u8p),
+        quals.ctypes.data_as(u8p),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(n),
+        ctypes.c_int64(L),
+        ctypes.c_int64(Wr),
+        ctypes.c_int32(k),
+        ctypes.c_int32(min_qual),
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        glen.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return packed, glen
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "min_qual", "interpret")
 )

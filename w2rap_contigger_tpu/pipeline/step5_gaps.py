@@ -45,6 +45,53 @@ def _nhood(hbv, fo, fe, to, te, e, radius):
     return sorted(x)
 
 
+def _satisfiable_batch(vs, ws, fo, fe, to_right):
+    """Vectorized Unsat BFS (Unsat.cc:148-186): every candidate (v, w)
+    pair advances one level per iteration over the shared CSR arrays —
+    no per-pair Python BFS, so repeat-rich inputs with many distinct
+    pairs stay O(levels) numpy passes.
+
+    Semantics match the reference exactly: the frontier keeps DUPLICATE
+    vertices (the reference pushes one entry per out-edge and counts
+    them all against MAX_VERTS), a pair is satisfiable when any
+    successor vertex equals w, and a pair whose next frontier exceeds
+    MAX_VERTS entries stops as unsatisfiable.  Returns (P,) bool.
+    """
+    P = len(vs)
+    sat = np.zeros(P, dtype=bool)
+    if P == 0:
+        return sat
+    fo = np.asarray(fo, dtype=np.int64)
+    fe = np.asarray(fe, dtype=np.int64)
+    to_right = np.asarray(to_right, dtype=np.int64)
+    fp = np.arange(P, dtype=np.int64)  # pair id per frontier entry
+    fv = np.asarray(vs, dtype=np.int64)  # frontier vertices (dups kept)
+    for _ in range(MAX_DEPTH):
+        if fv.size == 0:
+            break
+        deg = fo[fv + 1] - fo[fv]
+        cnt = np.bincount(fp, weights=deg, minlength=P).astype(np.int64)
+        total = int(deg.sum())
+        if total == 0:
+            break
+        # flat successor list: one entry per (frontier vertex, out-edge)
+        starts = np.repeat(fo[fv], deg)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(deg) - deg, deg
+        )
+        succ = to_right[fe[starts + within]]
+        sp = np.repeat(fp, deg)
+        hit = succ == ws[sp]
+        sat[sp[hit]] = True
+        cont = np.zeros(P, dtype=bool)
+        cont[fp] = True
+        cont &= ~sat & (cnt <= MAX_VERTS)
+        keep = cont[sp]
+        fp = sp[keep]
+        fv = succ[keep]
+    return sat
+
+
 def unsat(hbv, paths):
     """Returns list of clusters; cluster = sorted list of (e1, e2) link
     pairs (left terminal edge, right terminal edge)."""
@@ -84,37 +131,19 @@ def unsat(hbv, paths):
     cand = nonempty & ~meet & (v_arr != w_arr)
 
     to_right = np.asarray(hbv.to_right)
-    bfs_cache: dict = {}
-
-    def _satisfiable(v, w):
-        key_ = (v, w)
-        hit = bfs_cache.get(key_)
-        if hit is not None:
-            return hit
-        sat = False
-        s = [v]
-        for _ in range(MAX_DEPTH):
-            s2 = []
-            for x in s:
-                for e in fe[fo[x] : fo[x + 1]]:
-                    y = int(to_right[e])
-                    if y == w:
-                        sat = True
-                        break
-                    s2.append(y)
-                if sat:
-                    break
-            if sat or len(s2) > MAX_VERTS:
-                break
-            s = s2
-        bfs_cache[key_] = sat
-        return sat
-
-    unsat_pairs = [
-        int(pid)
-        for pid in np.flatnonzero(cand)
-        if not _satisfiable(int(v_arr[pid]), int(w_arr[pid]))
-    ]
+    cand_idx = np.flatnonzero(cand)
+    if cand_idx.size:
+        pairs_vw = np.stack(
+            [v_arr[cand_idx].astype(np.int64), w_arr[cand_idx].astype(np.int64)],
+            axis=1,
+        )
+        uniq_vw, inv_map = np.unique(pairs_vw, axis=0, return_inverse=True)
+        sat_u = _satisfiable_batch(
+            uniq_vw[:, 0], uniq_vw[:, 1], fo, fe, to_right
+        )
+        unsat_pairs = [int(p) for p in cand_idx[~sat_u[inv_map]]]
+    else:
+        unsat_pairs = []
 
     # ---- links + multiplicities --------------------------------------
     unsats = defaultdict(list)  # left edge -> [(right edge, pid)]
