@@ -241,3 +241,73 @@ def test_count_kmers_device_pallas_backend(rng, monkeypatch):
     np.testing.assert_array_equal(dev_d.counts, ref_d.counts)
     np.testing.assert_array_equal(dev_d.ctx, ref_d.ctx)
     np.testing.assert_array_equal(dev_hist, ref_hist)
+
+
+@pytest.mark.parametrize("k", [21, 31, 60])
+def test_count_kmers_device_radix_backend(rng, monkeypatch, k):
+    """The partition-sort backend (interpret) matches the default path
+    bit for bit, including the histogram (k=21 exercises the
+    ctx-in-pad-bits packing, k=31 the separate payload plane, k=60 the
+    4-word key with the 2-word comparator + collision check)."""
+    from w2rap_contigger_tpu.ops import pallas_radix as prad
+
+    L = max(60, k + 10)
+    bases, lengths, quals = make_reads(rng, 100, L, with_quals=False)
+    ref_d, ref_hist = ke.count_kmers_device(
+        bases, lengths, quals, k, min_freq=2, interpret=True
+    )
+    # shrink the tile/region so the partition path engages at test scale
+    monkeypatch.setattr(prad, "DEFAULT_TILE_ROWS", 16)
+    monkeypatch.setattr(prad, "DEFAULT_REGION_ROWS", 64)
+    monkeypatch.setenv("W2RAP_SORT", "radix")
+    dev_d, dev_hist = ke.count_kmers_device(
+        bases, lengths, quals, k, min_freq=2, interpret=True
+    )
+    np.testing.assert_array_equal(dev_d.words, ref_d.words)
+    np.testing.assert_array_equal(dev_d.counts, ref_d.counts)
+    np.testing.assert_array_equal(dev_d.ctx, ref_d.ctx)
+    np.testing.assert_array_equal(dev_hist, ref_hist)
+
+
+def test_count_kmers_batched_spill_and_auto_escalation(rng, tmp_path):
+    """The -d / -m multipass machinery (BuildReadQGraph.cc:1120-1250
+    analogue): forced disk_batches with tmp_dir spill and the
+    max_mem_gb auto-escalation must both reproduce the single-pass
+    dictionary and histogram bit for bit."""
+    k, L = 21, 100
+    bases, lengths, quals = make_reads(rng, 1500, L)
+    bases = np.concatenate([bases, bases[:500]], axis=0)
+    lengths = np.concatenate([lengths, lengths[:500]])
+    quals = np.concatenate([quals, quals[:500]], axis=0)
+
+    d0, h0 = ke.count_kmers_batched(
+        bases, lengths, quals, k, min_freq=2, chunk_reads=2048
+    )
+
+    # forced hash-range batching with npz spill to tmp_dir
+    spill = tmp_path / "spill"
+    d1, h1 = ke.count_kmers_batched(
+        bases, lengths, quals, k, min_freq=2, chunk_reads=2048,
+        disk_batches=4, tmp_dir=str(spill),
+    )
+    assert np.array_equal(d0.words, d1.words)
+    assert np.array_equal(d0.counts, d1.counts)
+    assert np.array_equal(d0.ctx, d1.ctx)
+    assert np.array_equal(h0, h1)
+    # spill files are cleaned up after the merge
+    assert list(spill.glob("kmer_range_*.npz")) == []
+
+    # memory-ceiling auto-escalation: a budget below the working set
+    # must force range_bits > 0 without changing the result
+    W = bk.nwords(k)
+    n_rows = bases.shape[0] * (L - k + 1)
+    bytes_needed = n_rows * 4 * (W + 1) * 3
+    budget_gb = (bytes_needed / 6) / (1 << 30)
+    d2, h2 = ke.count_kmers_batched(
+        bases, lengths, quals, k, min_freq=2, chunk_reads=2048,
+        max_mem_gb=budget_gb,
+    )
+    assert np.array_equal(d0.words, d2.words)
+    assert np.array_equal(d0.counts, d2.counts)
+    assert np.array_equal(d0.ctx, d2.ctx)
+    assert np.array_equal(h0, h2)

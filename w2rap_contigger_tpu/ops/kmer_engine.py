@@ -827,17 +827,26 @@ def _device_count_epilogue(
     kmerized chunk planes, sort, collapse+compact with the min_freq
     filter on device, download only the surviving dictionary."""
     from . import pallas_collapse as pcol
+    from . import pallas_radix as prad
     from . import pallas_sort as psort
 
-    # sort backend: XLA's TPU sort currently outruns the pallas bitonic
-    # at production shapes (174 vs 69 Mrows/s); keep both wired and let
-    # the env override flip them as the kernel improves.  interpret mode
-    # always exercises the pallas network (test coverage).
+    # sort backend: "radix" = the pallas partition (sample) sort —
+    # O(1) HBM passes vs lax.sort's merge cascade; it self-reports
+    # slot overflow / 64-bit-collision conditions and this epilogue
+    # then recounts via the exact lax path (never a wrong dictionary).
+    # "pallas" = the round-2 bitonic network (slower than lax at
+    # production shapes; kept for coverage).
     backend = os.environ.get("W2RAP_SORT", "lax")
+    if backend == "radix" and n_kmers_total < 4 * prad.DEFAULT_TILE_ROWS * 128:
+        backend = "lax"  # partition setup not worth it on tiny inputs
 
     if backend == "pallas":
         # the bitonic network needs a power-of-two row count
         n_pad = max(_next_pow2(n_kmers_total + 1), 128)
+    elif backend == "radix":
+        # the partition sort needs a power-of-two number of full tiles
+        T = prad.DEFAULT_TILE_ROWS * 128
+        n_pad = T * _next_pow2(-(-(n_kmers_total + 1) // T))
     else:
         # lax.sort takes any n; pad to the collapse tile (+>=1 sentinel
         # so the shifted-by-one collapse never drops a segment), rounded
@@ -853,6 +862,19 @@ def _device_count_epilogue(
         )
 
     pad_bits = 2 * (16 * W - k)
+    if backend == "radix":
+        sorted_planes, ok_dev = _radix_sorted_planes(
+            _cat, W, pad_bits, word_parts, payload_parts, interpret
+        )
+        d_hist = _collapse_and_download(
+            sorted_planes, W, k, min_freq, interpret
+        )
+        if bool(np.asarray(ok_dev)):
+            return d_hist
+        # overflow or 64-bit collision: recount exactly (rare; never
+        # silently wrong)
+        backend = "lax"
+
     if backend == "pallas":
         planes = [_cat(word_parts[j], FULL) for j in range(W)]
         planes.append(_cat(payload_parts, np.uint32(0)))
@@ -886,9 +908,63 @@ def _device_count_epilogue(
         planes = [_cat(word_parts[j], FULL) for j in range(W)]
         planes.append(_cat(payload_parts, np.uint32(0)))
         sorted_planes = list(jax.lax.sort(planes, num_keys=W))
-    # the min_freq filter runs on device so only the surviving dictionary
-    # is downloaded; the filtered-out kmers' histogram bins (1..min_freq-1)
-    # come back in the kernel's per-tile stats block
+    return _collapse_and_download(sorted_planes, W, k, min_freq, interpret)
+
+
+def _radix_sorted_planes(_cat, W, pad_bits, word_parts, payload_parts,
+                         interpret):
+    """Partition-sort the kmer stream; returns (sorted planes in the
+    epilogue's canonical form [W word planes + payload plane], ok)
+    where ok is a traced scalar that is True iff no slot overflowed and
+    no 64-bit key collision could have interleaved distinct kmers."""
+    from . import pallas_radix as prad
+
+    cmp_keys = min(2, W)
+    if pad_bits >= 8:
+        # ctx rides in the last word's pad bits (one fewer operand
+        # through the sort, exactly like the lax path)
+        planes = [_cat(word_parts[j], FULL) for j in range(W - 1)]
+        last = _cat(word_parts[W - 1], FULL)
+        pay = _cat(payload_parts, np.uint32(0))
+        planes.append(last | ((pay >> np.uint32(8)) & np.uint32(0xFF)))
+        sp, overflow = prad.partition_sort(
+            planes, num_keys=W, cmp_keys=cmp_keys, interpret=interpret
+        )
+        ctx_sorted = sp[W - 1] & np.uint32(0xFF)
+        w_last = sp[W - 1] & ~np.uint32(0xFF)
+        sent = sp[0] == FULL
+        for j in range(1, W - 1):
+            sent = sent & (sp[j] == FULL)
+        sent = sent & (w_last == (FULL & ~np.uint32(0xFF)))
+        w_last = jnp.where(sent, FULL, w_last)
+        payload_sorted = jnp.where(
+            sent, np.uint32(0), (ctx_sorted << np.uint32(8)) | np.uint32(1)
+        )
+        sorted_planes = sp[: W - 1] + [w_last, payload_sorted]
+    else:
+        planes = [_cat(word_parts[j], FULL) for j in range(W)]
+        planes.append(_cat(payload_parts, np.uint32(0)))
+        sorted_planes, overflow = prad.partition_sort(
+            planes, num_keys=W, cmp_keys=cmp_keys, interpret=interpret
+        )
+        sorted_planes = list(sorted_planes)
+    # the collision check must see ctx-stripped words (duplicate kmers
+    # differ in their ctx bits, which is not a collision)
+    cflag = prad.collision_flag(
+        sorted_planes[:W], num_keys=W, cmp_keys=cmp_keys
+    )
+    ok = (overflow == 0) & (cflag == 0)
+    return sorted_planes, ok
+
+
+def _collapse_and_download(sorted_planes, W, k, min_freq, interpret):
+    """Collapse a sorted (W word planes + payload) stream and download
+    the dictionary + histogram (the min_freq filter runs on device so
+    only the surviving rows cross the link; the filtered-out kmers'
+    histogram bins 1..min_freq-1 come back in the per-tile stats
+    block)."""
+    from . import pallas_collapse as pcol
+
     out_planes, counts, low_bins = pcol.collapse_compact(
         sorted_planes, interpret=interpret, min_count=min_freq
     )
