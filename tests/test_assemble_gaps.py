@@ -53,6 +53,12 @@ def test_assemble_gaps_reconnects_dip(rng):
 
     new_stuff = step5_gaps.assemble_gaps2(hbv, paths, reads)
     assert new_stuff, "no patches produced for the dip"
+    # the blob worker pool (AssembleGaps.cc:316-320 analogue) must be
+    # bit-deterministic: pooled == sequential, in order
+    new_stuff_mt = step5_gaps.assemble_gaps2(hbv, paths, reads, threads=4)
+    assert len(new_stuff_mt) == len(new_stuff)
+    for a, b in zip(new_stuff, new_stuff_mt):
+        np.testing.assert_array_equal(a, b)
     hbv2, paths2 = step5_gaps.add_new_stuff(
         hbv, paths, reads, new_stuff, chunk_reads=1024
     )

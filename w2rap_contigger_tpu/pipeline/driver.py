@@ -180,7 +180,8 @@ def run_pipeline(
         from ..paths.partners import partners_to_ends
 
         new_stuff = step5_gaps.assemble_gaps2(
-            hbv, paths, get_reads(), pair_sample=pair_sample
+            hbv, paths, get_reads(), pair_sample=pair_sample,
+            threads=threads,
         )
         if new_stuff:
             hbv, paths = step5_gaps.add_new_stuff(

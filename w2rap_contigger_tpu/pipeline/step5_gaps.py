@@ -12,6 +12,7 @@ low-multiplicity links at ratio 10 (Unsat.cc:369-380).
 
 from __future__ import annotations
 
+import os
 from collections import defaultdict
 
 import numpy as np
@@ -613,7 +614,7 @@ def _edges_with_shared_kmers(d, hbv_local, fx, rx, root_seqs, k2):
 
 
 def assemble_gaps2(hbv, paths, reads, pair_sample=PAIR_SAMPLE,
-                   max_bpaths=MAX_BPATHS, verbose=False):
+                   max_bpaths=MAX_BPATHS, verbose=False, threads=None):
     """Per-blob local reassembly; returns new_stuff (list of uint8 seqs).
 
     Follows AssembleGaps2 (AssembleGaps.cc:237-481): per blob, the full
@@ -621,11 +622,13 @@ def assemble_gaps2(hbv, paths, reads, pair_sample=PAIR_SAMPLE,
     corrected/closed sequences at K2 = max(SelectK2, K2_FLOOR) over the
     K2_FLOOR sequence, start/stop trimming, acyclicity gate, bpath
     enumeration, and Patch's junction cats.
+
+    Blobs run on a dynamic worker pool (the reference's
+    ``omp parallel for schedule(dynamic,1)`` over 5000-blob batches,
+    AssembleGaps.cc:316-320); results are accumulated in blob order so
+    the output is bit-identical to the sequential loop.
     """
-    from ..core.reads import ReadSet
-    from ..graph import ops as gops
-    from ..graph.lines import edge_paths
-    from ..ops import correction
+    from concurrent.futures import ThreadPoolExecutor
 
     k = hbv.k
     clusters, _ = unsat(hbv, paths)
@@ -633,14 +636,45 @@ def assemble_gaps2(hbv, paths, reads, pair_sample=PAIR_SAMPLE,
         return []
     LR = condense_lr(clusters, hbv.inv)
     layout = layout_reads(hbv, paths, reads.lengths)
-    fo, fe, to, te = hbv.vertex_csr()
+
+    if threads is None:
+        threads = int(os.environ.get("OMP_NUM_THREADS", "0")) or (
+            os.cpu_count() or 1
+        )
+    threads = max(1, min(int(threads), len(LR)))
+
+    def run_blob(lr):
+        return _process_blob(
+            hbv, paths, reads, layout, lr[0], lr[1], k,
+            pair_sample, max_bpaths,
+        )
 
     new_stuff = []
-    solved = 0
-    for lefts, rights in LR:
+    if threads == 1:
+        results = [run_blob(lr) for lr in LR]
+    else:
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            results = list(pool.map(run_blob, LR))
+    for pieces in results:
+        if pieces:
+            new_stuff.extend(pieces)
+    return new_stuff
+
+
+def _process_blob(hbv, paths, reads, layout, lefts, rights, k,
+                  pair_sample, max_bpaths):
+    """One blob of AssembleGaps2 (AssembleGaps.cc:320-470); returns the
+    blob's new_stuff pieces (or None).  Pure function of read-only
+    shared state — safe to run on a worker pool."""
+    from ..core.reads import ReadSet
+    from ..graph import ops as gops
+    from ..graph.lines import edge_paths
+    from ..ops import correction
+
+    if True:
         pids = find_pids_st(lefts, rights, layout, pair_sample=pair_sample)
         if not pids:
-            continue
+            return None
         rids = np.array(
             sorted({r for p in pids for r in (2 * p, 2 * p + 1)}),
             dtype=np.int64,
@@ -654,7 +688,7 @@ def assemble_gaps2(hbv, paths, reads, pair_sample=PAIR_SAMPLE,
         seqs = [np.asarray(s, dtype=np.uint8) for exp in corrected
                 for s in exp]
         if not seqs:
-            continue
+            return None
         k2_sel = select_k2([len(exp[0]) for exp in corrected if exp])
 
         root_left = [hbv.edge_seq(e) for e in lefts]
@@ -665,7 +699,7 @@ def assemble_gaps2(hbv, paths, reads, pair_sample=PAIR_SAMPLE,
         for k2_floor in K2_FLOOR_SEQUENCE:
             k2 = snap_engine_k(max(k2_sel, k2_floor))
             if k2 in tried:
-                continue
+                continue  # next k2_floor
             tried.add(k2)
             built = _local_graph(seqs, k2, min_freq=2)
             if built is None:
@@ -698,7 +732,7 @@ def assemble_gaps2(hbv, paths, reads, pair_sample=PAIR_SAMPLE,
                 final = lhb2
                 break
         if final is None:
-            continue
+            return None
 
         # bpaths: all source-sink edge paths
         indeg = final.in_degree()
@@ -726,7 +760,7 @@ def assemble_gaps2(hbv, paths, reads, pair_sample=PAIR_SAMPLE,
             if overflow:
                 break
         if overflow or not bpaths:
-            continue
+            return None
         # left/right root extensions (AssembleGaps.cc:432-460)
         for group, other_end in ((lefts, True), (rights, False)):
             for l in group:
@@ -750,11 +784,11 @@ def assemble_gaps2(hbv, paths, reads, pair_sample=PAIR_SAMPLE,
         # BasesToGraph at K + Patch's new_stuff extraction
         built = _local_graph(bpaths, k, min_freq=1)
         if built is None:
-            continue
+            return None
         _, mhb, _, _ = built
-        solved += 1
+        pieces = []
         for e in range(mhb.n_edges):
-            new_stuff.append(mhb.edge_seq(e).copy())
+            pieces.append(mhb.edge_seq(e).copy())
         mfo, mfe, mto, mte = mhb.vertex_csr()
         for v in range(mhb.n_vertices):
             for e1 in mte[mto[v] : mto[v + 1]]:
@@ -762,10 +796,10 @@ def assemble_gaps2(hbv, paths, reads, pair_sample=PAIR_SAMPLE,
                     s1 = mhb.edge_seq(int(e1))
                     s2 = mhb.edge_seq(int(e2))
                     # TrimCat (K-1 overlap join)
-                    new_stuff.append(
+                    pieces.append(
                         np.concatenate([s1[: -(k - 1)], s2]).copy()
                     )
-    return new_stuff
+        return pieces
 
 
 def _reachable_edges(hbv, seed_edges, forward=True, blocked=frozenset()):
