@@ -311,3 +311,46 @@ def test_count_kmers_batched_spill_and_auto_escalation(rng, tmp_path):
     assert np.array_equal(d0.counts, d2.counts)
     assert np.array_equal(d0.ctx, d2.ctx)
     assert np.array_equal(h0, h2)
+
+
+def test_native_count_matches_xla(rng, monkeypatch):
+    """The C++ leaf counter (CPU fast path) must be bit-identical to
+    the XLA chunk path, including range_bits filtering and the flat
+    segment variant."""
+    k, L = 21, 80
+    bases, lengths, quals = make_reads(rng, 400, L)
+    bases = np.concatenate([bases, bases[:150]], axis=0)
+    lengths = np.concatenate([lengths, lengths[:150]])
+    quals = np.concatenate([quals, quals[:150]], axis=0)
+
+    monkeypatch.setenv("W2RAP_NATIVE_COUNT", "0")
+    d_x, h_x = ke.count_kmers(bases, lengths, quals, k, min_freq=1,
+                              chunk_reads=256)
+    dr_x, _ = ke.count_kmers(bases, lengths, quals, k, min_freq=1,
+                             chunk_reads=256, range_bits=2, range_index=1)
+    monkeypatch.setenv("W2RAP_NATIVE_COUNT", "1")
+    d_n, h_n = ke.count_kmers(bases, lengths, quals, k, min_freq=1,
+                              chunk_reads=256)
+    dr_n, _ = ke.count_kmers(bases, lengths, quals, k, min_freq=1,
+                             chunk_reads=256, range_bits=2, range_index=1)
+    for a, b in ((d_x, d_n), (dr_x, dr_n)):
+        np.testing.assert_array_equal(a.words, b.words)
+        np.testing.assert_array_equal(a.counts, b.counts)
+        np.testing.assert_array_equal(a.ctx, b.ctx)
+    np.testing.assert_array_equal(h_x, h_n)
+
+    # flat variant (multiword large-K): segments of varying lengths
+    for kf in (60, 200):
+        seqs = [rng.integers(0, 4, size=int(n)).astype(np.uint8)
+                for n in rng.integers(10, 900, size=30)]
+        seqs += [seqs[0], seqs[3]]  # duplicates for counts
+        seg = np.zeros(len(seqs) + 1, dtype=np.int64)
+        seg[1:] = np.cumsum([len(s) for s in seqs])
+        flat = np.concatenate(seqs)
+        monkeypatch.setenv("W2RAP_NATIVE_COUNT", "0")
+        f_x = ke.count_kmers_flat(flat, seg, kf, min_freq=1)
+        monkeypatch.setenv("W2RAP_NATIVE_COUNT", "1")
+        f_n = ke.count_kmers_flat(flat, seg, kf, min_freq=1)
+        np.testing.assert_array_equal(f_x.words, f_n.words)
+        np.testing.assert_array_equal(f_x.counts, f_n.counts)
+        np.testing.assert_array_equal(f_x.ctx, f_n.ctx)

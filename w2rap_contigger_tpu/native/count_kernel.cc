@@ -1,0 +1,185 @@
+// Native (host) leaf counting for the CPU backend.
+//
+// The CPU-parity pipeline spent most of its step-2/3 wall inside XLA's
+// CPU lax.sort (multi-operand merge sort at ~5 Mrows/s on this
+// machine).  This kernel replaces one leaf of the counting tree —
+// kmerize + canonicalize + sort + collapse for a chunk of reads (or a
+// flat sequence pool) — with a single C++ pass: rolling multiword
+// fwd/rc window, canonical min, index sort with word-wise unsigned
+// lexicographic compare, then linear collapse (count saturates at 255,
+// contexts OR).  Semantics mirror ops/kmer_engine.kmerize_chunk +
+// sort_collapse_leaf exactly (word layout: big-endian 2-bit groups of
+// 16 per u32, pad bits zero; reference semantics:
+// BuildReadQGraph.cc:962-1110).
+//
+// This is an original implementation; the reference's equivalents
+// (KMer<K>/KMerNodeFreq + std::sort) were not consulted line-wise.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Emit {
+    std::vector<uint32_t>& words;  // rows * W
+    std::vector<uint8_t>& ctx;
+    int W;
+    int k;
+    uint32_t range_mask_bits;  // 0 = no range filter
+    uint32_t range_index;
+
+    inline void emit(const uint32_t* fwd, const uint32_t* rc, uint8_t cbyte) {
+        // canonical = lexicographic min(fwd, rc); rc context on swap
+        const uint32_t* canon = fwd;
+        bool is_rev = false;
+        for (int j = 0; j < W; ++j) {
+            if (fwd[j] < rc[j]) break;
+            if (fwd[j] > rc[j]) { canon = rc; is_rev = true; break; }
+        }
+        if (is_rev) {
+            uint8_t pred = cbyte >> 4, succ = cbyte & 0xF;
+            auto rcb = [](uint8_t b) -> uint8_t {
+                return (uint8_t)(((b & 1) << 3) | ((b & 2) << 1) |
+                                 ((b & 4) >> 1) | ((b & 8) >> 3));
+            };
+            cbyte = (uint8_t)((rcb(succ) << 4) | rcb(pred));
+        }
+        if (range_mask_bits) {
+            if ((canon[0] >> (32 - range_mask_bits)) != range_index) return;
+        }
+        words.insert(words.end(), canon, canon + W);
+        ctx.push_back(cbyte);
+    }
+};
+
+// Rolling multiword window over codes[p0, p1); emits every kmer with
+// its context byte.  pred exists for p > ctx_lo, succ for p + k < ctx_hi.
+static void roll_segment(const uint8_t* codes, int64_t p0, int64_t p1,
+                         int64_t ctx_lo, int64_t ctx_hi, int k, Emit& em) {
+    if (p1 - p0 < k) return;
+    const int W = em.W;
+    std::vector<uint32_t> fwd(W, 0), rc(W, 0);
+    // pad control for the last fwd word (bits below base k-1 stay 0)
+    const int pad = 2 * (16 * W - k);
+    // initial window [p0, p0+k)
+    for (int i = 0; i < k; ++i) {
+        uint32_t b = codes[p0 + i] & 3;
+        fwd[i >> 4] |= b << (30 - 2 * (i & 15));
+        uint32_t cb = 3 - b;  // complement
+        int ri = k - 1 - i;   // reversed position
+        rc[ri >> 4] |= cb << (30 - 2 * (ri & 15));
+    }
+    for (int64_t p = p0;; ++p) {
+        uint8_t cbyte = 0;
+        if (p > ctx_lo) cbyte |= (uint8_t)(1u << (codes[p - 1] & 3)) << 4;
+        if (p + k < ctx_hi) cbyte |= (uint8_t)(1u << (codes[p + k] & 3));
+        em.emit(fwd.data(), rc.data(), cbyte);
+        if (p + k >= p1) break;
+        uint32_t nb = codes[p + k] & 3;
+        // fwd: shift left 2 across words, insert nb at position k-1
+        for (int j = 0; j < W - 1; ++j)
+            fwd[j] = (fwd[j] << 2) | (fwd[j + 1] >> 30);
+        fwd[W - 1] <<= 2;
+        int li = k - 1;
+        fwd[li >> 4] |= nb << (30 - 2 * (li & 15));
+        if (pad) fwd[W - 1] &= (0xFFFFFFFFu >> pad) << pad;
+        // rc: shift right 2 across words, insert complement at pos 0
+        for (int j = W - 1; j > 0; --j)
+            rc[j] = (rc[j] >> 2) | (rc[j - 1] << 30);
+        rc[0] = (rc[0] >> 2) | ((3 - nb) << 30);
+        if (pad) rc[W - 1] &= (0xFFFFFFFFu >> pad) << pad;
+    }
+}
+
+// sort indices by W-word rows, collapse equal keys
+static int64_t sort_collapse(std::vector<uint32_t>& words,
+                             std::vector<uint8_t>& ctx, int W,
+                             uint32_t* out_words, uint8_t* out_ctx,
+                             uint8_t* out_cnt) {
+    const int64_t n = (int64_t)ctx.size();
+    if (n == 0) return 0;
+    std::vector<int64_t> idx(n);
+    for (int64_t i = 0; i < n; ++i) idx[i] = i;
+    const uint32_t* wp = words.data();
+    std::sort(idx.begin(), idx.end(), [wp, W](int64_t a, int64_t b) {
+        const uint32_t* ra = wp + a * W;
+        const uint32_t* rb = wp + b * W;
+        for (int j = 0; j < W; ++j) {
+            if (ra[j] != rb[j]) return ra[j] < rb[j];
+        }
+        return false;
+    });
+    int64_t m = -1;
+    const uint32_t* prev = nullptr;
+    for (int64_t t = 0; t < n; ++t) {
+        const uint32_t* r = wp + idx[t] * W;
+        if (prev && std::memcmp(prev, r, W * 4) == 0) {
+            if (out_cnt[m] < 255) out_cnt[m]++;
+            out_ctx[m] |= ctx[idx[t]];
+        } else {
+            ++m;
+            std::memcpy(out_words + m * W, r, W * 4);
+            out_cnt[m] = 1;
+            out_ctx[m] = ctx[idx[t]];
+            prev = out_words + m * W;
+        }
+    }
+    return m + 1;
+}
+
+static int32_t good_len(const uint8_t* q, int64_t len, int k,
+                        int min_qual) {
+    int64_t next_bad = len;
+    for (int64_t i = len - 1; i >= 0; --i) {
+        if (q[i] < min_qual) next_bad = i;
+        else if (next_bad - i >= k) return (int32_t)(i + k);
+    }
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Leaf count over reads: kmerize (qual-gated) + canonicalize + sort +
+// collapse.  out_* must hold n*(L-k+1) rows; returns unique row count.
+int64_t w2rap_count_leaf(const uint8_t* bases, const uint8_t* quals,
+                         const int32_t* lengths, int64_t n, int64_t L,
+                         int32_t k, int32_t W, int32_t min_qual,
+                         int32_t range_bits, uint32_t range_index,
+                         uint32_t* out_words, uint8_t* out_ctx,
+                         uint8_t* out_cnt) {
+    std::vector<uint32_t> words;
+    std::vector<uint8_t> ctx;
+    words.reserve((size_t)n * (L - k + 1) * W / 4);
+    ctx.reserve((size_t)n * (L - k + 1) / 4);
+    Emit em{words, ctx, W, k, (uint32_t)range_bits, range_index};
+    for (int64_t r = 0; r < n; ++r) {
+        int64_t len = lengths[r];
+        if (len > L) len = L;
+        int32_t glen = good_len(quals + r * L, len, k, min_qual);
+        if (glen <= k) continue;  // reference: only glen > k emits
+        roll_segment(bases + r * L, 0, glen, 0, glen, k, em);
+    }
+    return sort_collapse(words, ctx, W, out_words, out_ctx, out_cnt);
+}
+
+// Leaf count over a flat sequence pool with segment boundaries
+// (step 3's BigK analogue): positions [seg[i], seg[i+1]) per segment.
+int64_t w2rap_count_leaf_flat(const uint8_t* flat, const int64_t* seg,
+                              int64_t n_seg, int32_t k, int32_t W,
+                              uint32_t* out_words, uint8_t* out_ctx,
+                              uint8_t* out_cnt) {
+    std::vector<uint32_t> words;
+    std::vector<uint8_t> ctx;
+    Emit em{words, ctx, W, k, 0, 0};
+    for (int64_t s = 0; s < n_seg; ++s) {
+        int64_t a = seg[s], b = seg[s + 1];
+        if (b - a >= k) roll_segment(flat, a, b, a, b, k, em);
+    }
+    return sort_collapse(words, ctx, W, out_words, out_ctx, out_cnt);
+}
+
+}  // extern "C"

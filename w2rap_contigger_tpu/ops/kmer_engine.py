@@ -397,6 +397,49 @@ def _use_pallas_kmerize() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _native_count_lib():
+    """C++ leaf counter (native/count_kernel.cc) — the CPU backend's
+    fast path (XLA's CPU sort was the parity-mode wall).  Returns the
+    loaded library or None (env W2RAP_NATIVE_COUNT=0 disables)."""
+    if os.environ.get("W2RAP_NATIVE_COUNT", "1") in ("0", "false", "off"):
+        return None
+    import jax
+
+    if jax.default_backend() == "tpu":
+        return None
+    from .. import native
+
+    return native.load("w2rapcount", ["count_kernel.cc"])
+
+
+def _native_count_leaf(lib, cb, cl, cq, k, W, min_qual, range_bits,
+                       range_index):
+    """One C++ leaf: kmerize+canonicalize+sort+collapse a read chunk.
+    Returns (words (m, W) u32, ctx u8, cnt u8)."""
+    import ctypes
+
+    cb = np.ascontiguousarray(cb, dtype=np.uint8)
+    cq = np.ascontiguousarray(cq, dtype=np.uint8)
+    cl = np.ascontiguousarray(cl, dtype=np.int32)
+    n, L = cb.shape
+    cap = max(1, n * max(0, L - k + 1))
+    out_w = np.empty((cap, W), dtype=np.uint32)
+    out_x = np.empty(cap, dtype=np.uint8)
+    out_c = np.empty(cap, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.w2rap_count_leaf.restype = ctypes.c_int64
+    m = lib.w2rap_count_leaf(
+        cb.ctypes.data_as(u8p), cq.ctypes.data_as(u8p),
+        cl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(n), ctypes.c_int64(L), ctypes.c_int32(k),
+        ctypes.c_int32(W), ctypes.c_int32(min_qual),
+        ctypes.c_int32(range_bits), ctypes.c_uint32(range_index),
+        out_w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        out_x.ctypes.data_as(u8p), out_c.ctypes.data_as(u8p),
+    )
+    return out_w[:m].copy(), out_x[:m].copy(), out_c[:m].copy()
+
+
 def count_kmers(
     bases,
     lengths,
@@ -431,6 +474,7 @@ def count_kmers(
     n_chunks = max(1, -(-n // chunk_reads))
     runs = []
     SLICE_Q = 1 << 18
+    native_lib = _native_count_lib()
     if _use_pallas_kmerize():
         from . import pallas_kmer as _pk
 
@@ -442,6 +486,21 @@ def count_kmers(
     for ci in range(n_chunks):
         start = ci * chunk_reads
         stop = min(start + chunk_reads, n)
+        if native_lib is not None:
+            # C++ leaf (no shape padding needed — host code is not
+            # compile-cached)
+            ow, octx, ocnt = _native_count_leaf(
+                native_lib, bases[start:stop], lengths[start:stop],
+                quals[start:stop], k, W, min_qual, range_bits, range_index,
+            )
+            runs.append((ow, octx, ocnt))
+            if os.environ.get("W2RAP_VERBOSE"):
+                print(
+                    f"count_kmers chunk {ci+1}/{n_chunks}: "
+                    f"{ow.shape[0]} unique (native)",
+                    flush=True,
+                )
+            continue
         cb = np.zeros((chunk_reads, L), dtype=np.uint8)
         cl = np.zeros(chunk_reads, dtype=np.int32)
         cq = np.zeros((chunk_reads, L), dtype=np.uint8)
@@ -564,6 +623,13 @@ def count_kmers_flat(
         empty = np.zeros((0, W), dtype=np.uint32)
         return KmerDict(empty, np.zeros(0, np.int32), np.zeros(0, np.uint32), k)
 
+    if mesh is None and not interpret:
+        _nlib = _native_count_lib()
+        if _nlib is not None:
+            return _count_kmers_flat_native(
+                _nlib, flat_bases, seg_offsets, k, W, min_freq
+            )
+
     n_pos = T - k + 1
     # small inputs: shrink the chunk onto the octave grid instead of
     # padding a tiny sequence pool to the full chunk (the pad rows cost
@@ -677,6 +743,58 @@ def count_kmers_flat(
         )
         return d
 
+    if not runs:
+        empty = np.zeros((0, W), dtype=np.uint32)
+        return KmerDict(empty, np.zeros(0, np.int32), np.zeros(0, np.uint32), k)
+    words, ctx, cnt = _host_merge_all(runs)
+    keep = cnt >= min_freq
+    return KmerDict(
+        words[keep], cnt[keep].astype(np.int32), ctx[keep].astype(np.uint32), k
+    )
+
+
+def _count_kmers_flat_native(lib, flat_bases, seg_offsets, k, W, min_freq):
+    """CPU fast path of count_kmers_flat: C++ leaf counting over
+    segment batches + the usual host merge (bit-identical to the
+    device/XLA path; kmers never span segments so batching by whole
+    segments is exact)."""
+    import ctypes
+
+    flat = np.ascontiguousarray(flat_bases, dtype=np.uint8)
+    seg = np.ascontiguousarray(seg_offsets, dtype=np.int64)
+    seg_len = np.diff(seg)
+    pos = np.maximum(seg_len - k + 1, 0).astype(np.int64)
+    S = len(seg) - 1
+    MAXP = 4 << 20
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.w2rap_count_leaf_flat.restype = ctypes.c_int64
+    runs = []
+    i = 0
+    while i < S:
+        j = i
+        tot = 0
+        while j < S and (tot == 0 or tot + pos[j] <= MAXP):
+            tot += int(pos[j])
+            j += 1
+        if tot == 0:
+            i = j
+            continue
+        base = int(seg[i])
+        lseg = (seg[i : j + 1] - base).astype(np.int64)
+        sub = np.ascontiguousarray(flat[base : int(seg[j])])
+        cap = tot
+        out_w = np.empty((cap, W), dtype=np.uint32)
+        out_x = np.empty(cap, dtype=np.uint8)
+        out_c = np.empty(cap, dtype=np.uint8)
+        m = lib.w2rap_count_leaf_flat(
+            sub.ctypes.data_as(u8p),
+            lseg.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(j - i), ctypes.c_int32(k), ctypes.c_int32(W),
+            out_w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            out_x.ctypes.data_as(u8p), out_c.ctypes.data_as(u8p),
+        )
+        runs.append((out_w[:m].copy(), out_x[:m].copy(), out_c[:m].copy()))
+        i = j
     if not runs:
         empty = np.zeros((0, W), dtype=np.uint32)
         return KmerDict(empty, np.zeros(0, np.int32), np.zeros(0, np.uint32), k)
