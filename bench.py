@@ -69,6 +69,11 @@ def main():
     backend = os.environ.get("W2RAP_SORT", "lax")
     if backend == "pallas":
         NP2 = ke._next_pow2(M + 1)
+    elif backend == "radix":
+        from w2rap_contigger_tpu.ops import pallas_radix as prad
+
+        T = prad.DEFAULT_TILE_ROWS * 128
+        NP2 = T * ke._next_pow2(-(-(M + 1) // T))
     else:
         tile = pcol.DEFAULT_TILE_ROWS * 128
         NP2 = ((M + 1 + tile - 1) // tile) * tile
@@ -97,6 +102,31 @@ def main():
                 jnp.concatenate([payload, jnp.zeros(NP2 - M, jnp.uint32)])
             )
             sp = psrt.bitonic_sort(planes, num_keys=W)
+        elif backend == "radix":
+            # partition sort with ctx in the pad bits (same packing as
+            # the lax path); overflow/collision flags fold into the
+            # probe so a silent-failure run cannot report a good number
+            from w2rap_contigger_tpu.ops import pallas_radix as prad
+
+            ctxp = jnp.concatenate([ctx, jnp.zeros(NP2 - M, jnp.uint32)])
+            planes[W - 1] = planes[W - 1] | (ctxp & jnp.uint32(0xFF))
+            sp, overflow = prad.partition_sort(planes, num_keys=W)
+            ctx_s = sp[W - 1] & jnp.uint32(0xFF)
+            w_last = sp[W - 1] & ~jnp.uint32(0xFF)
+            sent = sp[0] == FULLC
+            for j in range(1, W - 1):
+                sent = sent & (sp[j] == FULLC)
+            sent = sent & (w_last == (FULLC & ~jnp.uint32(0xFF)))
+            w_last = jnp.where(sent, FULLC, w_last)
+            pay_s = jnp.where(
+                sent, jnp.uint32(0), (ctx_s << jnp.uint32(8)) | 1
+            )
+            stripped = sp[: W - 1] + [w_last]
+            cflag = prad.collision_flag(stripped, num_keys=W)
+            sp = stripped + [pay_s]
+            sp[0] = sp[0] ^ jnp.where(
+                (overflow + cflag) > 0, jnp.uint32(0xDEAD), jnp.uint32(0)
+            )
         else:
             # ctx rides in the last word's pad bits (k=60 -> 8 free bits):
             # the sort moves 4 operands instead of 5
@@ -156,6 +186,31 @@ def main():
     d, hist = ke.count_kmers_device(bases, lengths, quals, k)
     dt_e2e = time.time() - t0
 
+    # attribute the e2e-vs-kernel gap: host pack cost + link probes.
+    # (This environment reaches the TPU through a network tunnel; a
+    # directly-attached TPU VM moves the same bytes ~100x faster.)
+    from w2rap_contigger_tpu.ops import pallas_kmer as pk
+
+    t0 = time.time()
+    _pr, _gl = pk.pack_and_glen_host(bases, quals, lengths, k, 7)
+    dt_pack = time.time() - t0
+    probe = jnp.zeros(8, jnp.uint32)
+    _ = np.asarray(probe[:1])
+    t0 = time.time()
+    for _i in range(3):
+        _ = np.asarray(probe[:1])
+    rtt = (time.time() - t0) / 3
+    up_buf = np.zeros(8 << 20, np.uint8)
+    t0 = time.time()
+    _ = np.asarray(jnp.asarray(up_buf)[:1])
+    up_s = time.time() - t0
+    down_dev = jnp.zeros(16 << 20, jnp.uint8)
+    _ = np.asarray(down_dev[:16])
+    t0 = time.time()
+    _ = np.asarray(down_dev)
+    down_s = time.time() - t0
+    dict_mb = (d.words.nbytes + d.ctx.nbytes + d.counts.nbytes) / 1e6
+
     print(
         json.dumps(
             {
@@ -168,6 +223,11 @@ def main():
                     "end_to_end_kmers_per_sec": round(n_kmers / dt_e2e, 1),
                     "end_to_end_wall_s": round(dt_e2e, 2),
                     "end_to_end_cold_s": round(dt_cold, 2),
+                    "host_pack_s": round(dt_pack, 3),
+                    "link_rtt_s": round(rtt, 3),
+                    "link_up_MBps": round(8 / max(up_s - rtt, 1e-9), 1),
+                    "link_down_MBps": round(16 / max(down_s - rtt, 1e-9), 1),
+                    "dict_download_mb": round(dict_mb, 1),
                     "reads": n_reads,
                     "unique_kmers": int(d.size),
                     "sort_backend": backend,

@@ -55,7 +55,7 @@ class ReadSet:
         return ReadSet(bases, lengths, qmat)
 
     def save(self, path: str) -> None:
-        np.savez_compressed(
+        np.savez(
             path, bases=self.bases, lengths=self.lengths, quals=self.quals
         )
 

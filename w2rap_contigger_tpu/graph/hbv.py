@@ -99,7 +99,7 @@ class HyperBasevector:
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:
-        np.savez_compressed(
+        np.savez(
             path,
             k=np.int64(self.k),
             edge_bases=self.edge_bases,

@@ -44,7 +44,7 @@ class ReadPathVec:
         return ReadPathVec(offsets, flat, np.asarray(starts, dtype=np.int32))
 
     def save(self, path: str) -> None:
-        np.savez_compressed(
+        np.savez(
             path, offsets=self.offsets, edges=self.edges, start=self.start
         )
 
