@@ -125,8 +125,8 @@ def _partition_kernel(num_ops, cmp_keys, real_keys, tile_rows, n_bins, cap,
     in_refs = refs[:num_ops]
     out_refs = refs[num_ops : 2 * num_ops]
     flag_ref = refs[2 * num_ops]
+    starts_ref = refs[2 * num_ops + 1]  # SMEM scratch (n_bins + 1,)
     cap_rows = cap // LANES
-    shape = (tile_rows, LANES)
 
     x = [r[:] for r in in_refs]
 
@@ -140,9 +140,13 @@ def _partition_kernel(num_ops, cmp_keys, real_keys, tile_rows, n_bins, cap,
     n_valid = jnp.sum((~sent).astype(jnp.int32))
 
     # s_b = #elements with key < splitter_b (lexicographic over the
-    # first cmp_keys words), as dynamic scalars; s_0 = 0, s_B = n_valid
-    starts = [jnp.int32(0)]
-    for b in range(n_bins - 1):
+    # first cmp_keys words) into SMEM scratch; s_0 = 0, s_B = n_valid.
+    # fori_loop, not a static unroll: a fully unrolled n_bins-iteration
+    # body OOMs the Mosaic compiler at production bin counts.
+    starts_ref[0] = jnp.int32(0)
+    starts_ref[n_bins] = n_valid
+
+    def _count_lt(b, carry):
         lt = None
         eq = None
         for j in range(cmp_keys):
@@ -154,17 +158,19 @@ def _partition_kernel(num_ops, cmp_keys, real_keys, tile_rows, n_bins, cap,
             else:
                 lt = lt | (eq & lw)
                 eq = eq & ew
-        starts.append(jnp.sum(lt.astype(jnp.int32)))
-    starts.append(n_valid)
+        starts_ref[b + 1] = jnp.sum(lt.astype(jnp.int32))
+        return carry
+
+    jax.lax.fori_loop(0, n_bins - 1, _count_lt, jnp.int32(0))
 
     chunk_shape = (cap_rows, LANES)
     crow = jax.lax.broadcasted_iota(jnp.int32, chunk_shape, 0)
     clane = jax.lax.broadcasted_iota(jnp.int32, chunk_shape, 1)
     max_row0 = tile_rows - cap_rows
-    overflow = jnp.int32(0)
-    for b in range(n_bins):
-        s_b = starts[b]
-        s_b1 = starts[b + 1]
+
+    def _fill_slot(b, overflow):
+        s_b = starts_ref[b]
+        s_b1 = starts_ref[b + 1]
         overflow = overflow + jnp.where(
             s_b1 - s_b > cap - LANES, jnp.int32(1), jnp.int32(0)
         )
@@ -175,7 +181,9 @@ def _partition_kernel(num_ops, cmp_keys, real_keys, tile_rows, n_bins, cap,
             chunk = in_refs[j][pl.ds(row0, cap_rows), :]
             fill = FULL if j < real_keys else np.uint32(0)
             out_refs[j][b] = jnp.where(valid, chunk, fill)
+        return overflow
 
+    overflow = jax.lax.fori_loop(0, n_bins, _fill_slot, jnp.int32(0))
     flag_ref[:, :] = jnp.full((8, LANES), overflow, dtype=jnp.int32)
 
 
@@ -249,6 +257,7 @@ def _partition_sort_planes(operands, num_keys, cmp_keys, tile_rows, n_bins,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * num_ops,
         out_specs=(slot_spec,) * num_ops + (flag_spec,),
         out_shape=part_out_shapes,
+        scratch_shapes=[pltpu.SMEM((n_bins + 1,), jnp.int32)],
         interpret=interpret,
     )(splitters, *planes)
     slotted = list(outs[:num_ops])
