@@ -17,10 +17,34 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
+#include <string>
 #include <vector>
 
 namespace {
+
+// canonical = lexicographic min(fwd, rc); context swaps to the rc
+// form when the rc strand wins.  Returns the canonical word pointer.
+static inline const uint32_t* canonical_ctx(const uint32_t* fwd,
+                                            const uint32_t* rc, int W,
+                                            uint8_t& cbyte) {
+    const uint32_t* canon = fwd;
+    bool is_rev = false;
+    for (int j = 0; j < W; ++j) {
+        if (fwd[j] < rc[j]) break;
+        if (fwd[j] > rc[j]) { canon = rc; is_rev = true; break; }
+    }
+    if (is_rev) {
+        uint8_t pred = cbyte >> 4, succ = cbyte & 0xF;
+        auto rcb = [](uint8_t b) -> uint8_t {
+            return (uint8_t)(((b & 1) << 3) | ((b & 2) << 1) |
+                             ((b & 4) >> 1) | ((b & 8) >> 3));
+        };
+        cbyte = (uint8_t)((rcb(succ) << 4) | rcb(pred));
+    }
+    return canon;
+}
 
 struct Emit {
     std::vector<uint32_t>& words;  // rows * W
@@ -31,21 +55,7 @@ struct Emit {
     uint32_t range_index;
 
     inline void emit(const uint32_t* fwd, const uint32_t* rc, uint8_t cbyte) {
-        // canonical = lexicographic min(fwd, rc); rc context on swap
-        const uint32_t* canon = fwd;
-        bool is_rev = false;
-        for (int j = 0; j < W; ++j) {
-            if (fwd[j] < rc[j]) break;
-            if (fwd[j] > rc[j]) { canon = rc; is_rev = true; break; }
-        }
-        if (is_rev) {
-            uint8_t pred = cbyte >> 4, succ = cbyte & 0xF;
-            auto rcb = [](uint8_t b) -> uint8_t {
-                return (uint8_t)(((b & 1) << 3) | ((b & 2) << 1) |
-                                 ((b & 4) >> 1) | ((b & 8) >> 3));
-            };
-            cbyte = (uint8_t)((rcb(succ) << 4) | rcb(pred));
-        }
+        const uint32_t* canon = canonical_ctx(fwd, rc, W, cbyte);
         if (range_mask_bits) {
             if ((canon[0] >> (32 - range_mask_bits)) != range_index) return;
         }
@@ -56,8 +66,9 @@ struct Emit {
 
 // Rolling multiword window over codes[p0, p1); emits every kmer with
 // its context byte.  pred exists for p > ctx_lo, succ for p + k < ctx_hi.
+template <typename E>
 static void roll_segment(const uint8_t* codes, int64_t p0, int64_t p1,
-                         int64_t ctx_lo, int64_t ctx_hi, int k, Emit& em) {
+                         int64_t ctx_lo, int64_t ctx_hi, int k, E& em) {
     if (p1 - p0 < k) return;
     const int W = em.W;
     std::vector<uint32_t> fwd(W, 0), rc(W, 0);
@@ -163,6 +174,81 @@ int64_t w2rap_count_leaf(const uint8_t* bases, const uint8_t* quals,
         if (glen <= k) continue;  // reference: only glen > k emits
         roll_segment(bases + r * L, 0, glen, 0, glen, k, em);
     }
+    return sort_collapse(words, ctx, W, out_words, out_ctx, out_cnt);
+}
+
+// Disk-batched counting, pass 1 (the createDictOMPDiskBased analogue,
+// reference BuildReadQGraph.cc:1120-1250): kmerize ONCE and append
+// (W u32 words + ctx byte) rows to 2^range_bits per-range batch files
+// "<tmp_dir>/kmer_batch_NNNN.bin" (range = top bits of word 0).
+// Returns 0 on success, -1 on IO failure.  Row counts per range are
+// written to range_counts.
+int64_t w2rap_spill_ranges(const uint8_t* bases, const uint8_t* quals,
+                           const int32_t* lengths, int64_t n, int64_t L,
+                           int32_t k, int32_t W, int32_t min_qual,
+                           int32_t range_bits, const char* tmp_dir,
+                           int64_t* range_counts) {
+    const int R = 1 << range_bits;
+    std::vector<FILE*> files(R, nullptr);
+    std::vector<std::string> names(R);
+    for (int r = 0; r < R; ++r) {
+        char buf[64];
+        snprintf(buf, sizeof buf, "/kmer_batch_%04d.bin", r);
+        names[r] = std::string(tmp_dir) + buf;
+        files[r] = fopen(names[r].c_str(), "wb");
+        if (!files[r]) {
+            for (int j = 0; j < r; ++j) fclose(files[j]);
+            return -1;
+        }
+        range_counts[r] = 0;
+    }
+    struct SpillEmit {
+        std::vector<FILE*>& files;
+        int64_t* counts;
+        int W, k, shift;
+        bool fail = false;
+        inline void emit(const uint32_t* fwd, const uint32_t* rc,
+                         uint8_t cbyte) {
+            const uint32_t* canon = canonical_ctx(fwd, rc, W, cbyte);
+            int r = (int)(canon[0] >> shift);
+            if (fwrite(canon, 4, W, files[r]) != (size_t)W ||
+                fwrite(&cbyte, 1, 1, files[r]) != 1)
+                fail = true;
+            else
+                counts[r]++;
+        }
+    } sp{files, range_counts, W, k, 32 - range_bits};
+    for (int64_t r = 0; r < n; ++r) {
+        int64_t len = lengths[r];
+        if (len > L) len = L;
+        int32_t glen = good_len(quals + r * L, len, k, min_qual);
+        if (glen <= k) continue;
+        roll_segment(bases + r * L, 0, glen, 0, glen, k, sp);
+    }
+    int rc_all = 0;
+    for (int r = 0; r < R; ++r)
+        if (fclose(files[r]) != 0) rc_all = -1;
+    return (sp.fail || rc_all) ? -1 : 0;
+}
+
+// Disk-batched counting, pass 2: read one range's batch file, sort +
+// collapse.  out_* must hold n_rows rows; returns unique count (or -1
+// on IO failure).
+int64_t w2rap_collapse_batch(const char* path, int64_t n_rows, int32_t W,
+                             uint32_t* out_words, uint8_t* out_ctx,
+                             uint8_t* out_cnt) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    std::vector<uint32_t> words((size_t)n_rows * W);
+    std::vector<uint8_t> ctx((size_t)n_rows);
+    for (int64_t i = 0; i < n_rows; ++i) {
+        if (fread(words.data() + i * W, 4, W, f) != (size_t)W ||
+            fread(&ctx[i], 1, 1, f) != 1) {
+            fclose(f);
+            return -1;
+        }
+    }
+    fclose(f);
     return sort_collapse(words, ctx, W, out_words, out_ctx, out_cnt);
 }
 

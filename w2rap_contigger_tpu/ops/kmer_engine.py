@@ -1142,6 +1142,14 @@ def count_kmers_batched(
 
     use_device = (not interpret) and jax.default_backend() == "tpu"
 
+    if range_bits and not use_device and not interpret:
+        _nlib = _native_count_lib()
+        if _nlib is not None:
+            return _count_kmers_spill_native(
+                _nlib, bases, lengths, quals, k, W, min_qual, min_freq,
+                range_bits, tmp_dir,
+            )
+
     def run_range(rb, ri):
         if use_device or interpret:
             return count_kmers_device(
@@ -1180,6 +1188,86 @@ def count_kmers_batched(
     counts = np.concatenate([p[1] for p in parts])
     ctx = np.concatenate([p[2] for p in parts])
     return KmerDict(words, counts.astype(np.int32), ctx.astype(np.uint32), k), hist
+
+
+def _count_kmers_spill_native(lib, bases, lengths, quals, k, W, min_qual,
+                              min_freq, range_bits, tmp_dir):
+    """Native disk-batched counting: ONE kmerize pass spills rows to
+    2^range_bits per-range batch files, then each range is sorted +
+    collapsed independently (bounded memory).  This is the faithful
+    createDictOMPDiskBased design (batch files + per-batch merge,
+    BuildReadQGraph.cc:1120-1250) — unlike the device multipass, reads
+    are only kmerized once."""
+    import ctypes
+    import tempfile
+
+    bases = np.ascontiguousarray(bases, dtype=np.uint8)
+    quals = np.ascontiguousarray(quals, dtype=np.uint8)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    n, L = bases.shape
+    own_tmp = tmp_dir is None
+    if own_tmp:
+        tmp_dir = tempfile.mkdtemp(prefix="w2rap_spill_")
+    else:
+        os.makedirs(tmp_dir, exist_ok=True)
+    R = 1 << range_bits
+    range_counts = np.zeros(R, dtype=np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.w2rap_spill_ranges.restype = ctypes.c_int64
+    rc = lib.w2rap_spill_ranges(
+        bases.ctypes.data_as(u8p), quals.ctypes.data_as(u8p),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(n), ctypes.c_int64(L), ctypes.c_int32(k),
+        ctypes.c_int32(W), ctypes.c_int32(min_qual),
+        ctypes.c_int32(range_bits), tmp_dir.encode(),
+        range_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        raise OSError(f"native spill to {tmp_dir} failed")
+    lib.w2rap_collapse_batch.restype = ctypes.c_int64
+    hist = np.zeros(101, dtype=np.int64)
+    parts = []
+    for ri in range(R):
+        path = os.path.join(tmp_dir, f"kmer_batch_{ri:04d}.bin")
+        n_rows = int(range_counts[ri])
+        if n_rows == 0:
+            os.remove(path)
+            continue
+        out_w = np.empty((n_rows, W), dtype=np.uint32)
+        out_x = np.empty(n_rows, dtype=np.uint8)
+        out_c = np.empty(n_rows, dtype=np.uint8)
+        m = lib.w2rap_collapse_batch(
+            path.encode(), ctypes.c_int64(n_rows), ctypes.c_int32(W),
+            out_w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            out_x.ctypes.data_as(u8p), out_c.ctypes.data_as(u8p),
+        )
+        if m < 0:
+            raise OSError(f"native batch collapse of {path} failed")
+        os.remove(path)
+        cnt = out_c[:m]
+        np.add.at(hist, np.minimum(cnt, 100), 1)
+        keep = cnt >= min_freq
+        parts.append((out_w[:m][keep].copy(), cnt[keep].copy(),
+                      out_x[:m][keep].copy()))
+    hist[0] = 0
+    if own_tmp:
+        try:
+            os.rmdir(tmp_dir)
+        except OSError:
+            pass
+    if not parts:
+        empty = np.zeros((0, W), dtype=np.uint32)
+        return (
+            KmerDict(empty, np.zeros(0, np.int32), np.zeros(0, np.uint32), k),
+            hist,
+        )
+    words = np.concatenate([p[0] for p in parts], axis=0)
+    counts = np.concatenate([p[1] for p in parts])
+    ctx = np.concatenate([p[2] for p in parts])
+    return (
+        KmerDict(words, counts.astype(np.int32), ctx.astype(np.uint32), k),
+        hist,
+    )
 
 
 DICT_QUANTUM = 1 << 20

@@ -57,31 +57,150 @@ from . import pallas_sort as psort
 LANES = 128
 FULL = np.uint32(0xFFFFFFFF)
 
-DEFAULT_TILE_ROWS = 1024      # 131072 elements per tile
-DEFAULT_REGION_ROWS = 2048    # 262144 elements per bin region
+# VMEM budget: the roll-based sort holds ~5x the plane bytes live (ops
+# + both roll directions + partner/select temporaries); 512-row tiles
+# keep a 4-operand sort within the 16MB scoped-vmem limit (1024 rows
+# measured 18.2MB — over).
+DEFAULT_TILE_ROWS = 512       # 65536 elements per tile
+DEFAULT_REGION_ROWS = 1024    # target bin-region elements / LANES
 CAP_FACTOR = 2                # slot capacity = CAP_FACTOR * tile/bins
 
 
-def _tile_sort_ascending_kernel(num_ops, num_keys, tile_rows, *refs):
-    """Sort one VMEM tile ascending (every tile independently — unlike
-    pallas_sort's global network the direction ignores the grid
-    position)."""
+def _flat_roll_fwd(x, s, tile_rows):
+    """Circular roll of the flat element order by +s (value at e comes
+    from (e - s) mod T); s is a TRACED power of two — either < LANES or
+    a multiple of LANES.  Both forms are computed and selected (the
+    lane form's carry crosses rows; the row form is a plain sublane
+    rotate)."""
+    rr = pltpu.roll(x, s // LANES, 0)
+    a = pltpu.roll(x, jnp.where(s < LANES, s, 0), 1)
+    b = pltpu.roll(a, 1, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    lr = jnp.where(lane < s, b, a)
+    return jnp.where(s < LANES, lr, rr)
+
+
+def _flat_roll_back(x, s, tile_rows):
+    """Circular roll of the flat order by -s (value at e comes from
+    (e + s) mod T); same s contract as _flat_roll_fwd."""
+    rr = pltpu.roll(x, tile_rows - s // LANES, 0)
+    a = pltpu.roll(x, jnp.where(s < LANES, LANES - s, 0), 1)
+    b = pltpu.roll(a, tile_rows - 1, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    lr = jnp.where(lane >= LANES - s, b, a)
+    return jnp.where(s < LANES, lr, rr)
+
+
+def _dyn_stage(ops, num_keys, e, s, size, tile_rows, ascend_at):
+    """One compare-exchange stage with TRACED stride s and level size.
+
+    Direction follows the global bitonic pattern (e & size) except for
+    levels >= ascend_at, which force ascending (used to make every
+    region come out ascending instead of alternating)."""
+    is_low = (e & s) == 0
+    lo = [_flat_roll_back(o, s, tile_rows) for o in ops]
+    hi = [_flat_roll_fwd(o, s, tile_rows) for o in ops]
+    ps = [jnp.where(is_low, a, b) for a, b in zip(lo, hi)]
+    desc = ((e & size) != 0) & (size < ascend_at)
+    return psort._cmp_take(list(ops), ps, num_keys, is_low, desc)
+
+
+def _tile_sort_dyn_kernel(num_ops, num_keys, tile_rows, ascend_at,
+                          global_e, *refs):
+    """Sort one VMEM tile (levels 1..T of the bitonic network).
+
+    The network runs as a doubly-nested fori_loop over (level, stride)
+    with DYNAMIC-shift rolls — a ~40-instruction body executed
+    log^2(T)/2 times — instead of a fully unrolled stage list, which
+    OOM-kills the Mosaic compiler beyond ~2^16-element tiles.
+
+    global_e=False: every tile sorts ascending independently (phase A —
+    the partition step needs ascending tiles).  global_e=True: the
+    direction pattern follows the tile's position in the flat array
+    (the prefix of a larger network whose merge levels the caller
+    continues), with levels >= ascend_at forced ascending.
+    """
     in_refs = refs[:num_ops]
     out_refs = refs[num_ops:]
     T = tile_rows * LANES
     row = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
-    e = row * LANES + lane  # local index: every tile sorts ascending
-    ops = [r[:] for r in in_refs]
-    size = 2
-    while size <= T:
-        s = size // 2
-        while s >= 1:
-            ops = psort._stage(ops, num_keys, e, s, size, pallas=True)
-            s //= 2
-        size *= 2
+    e = row * LANES + lane
+    if global_e:
+        e = e + pl.program_id(0) * T
+    ops = tuple(r[:] for r in in_refs)
+    n_levels = max(1, T.bit_length() - 1)  # T = 2^n_levels
+
+    def stride_body(si, carry):
+        size, ops = carry
+        s = size >> (si + 1)
+        ops = tuple(
+            _dyn_stage(list(ops), num_keys, e, s, size, tile_rows, ascend_at)
+        )
+        return size, ops
+
+    def level_body(li, ops):
+        size = jnp.int32(2) << li
+        _, ops = jax.lax.fori_loop(0, li + 1, stride_body, (size, ops))
+        return ops
+
+    ops = jax.lax.fori_loop(0, n_levels, level_body, ops)
     for r, x in zip(out_refs, ops):
         r[:] = x
+
+
+def _tile_sort_ascending_kernel(num_ops, num_keys, tile_rows, *refs):
+    """Back-compat wrapper: independent ascending tile sorts.  With
+    local element ids the final level's (e & T) is 0 everywhere, so
+    every tile comes out ascending; ascend_at is just "never" (int32-
+    safe sentinel)."""
+    _tile_sort_dyn_kernel(
+        num_ops, num_keys, tile_rows, 1 << 30, False, *refs
+    )
+
+
+def _descend_kernel(num_ops, num_keys, tile_rows, size, ascend_at, *refs):
+    """Strides T/2..1 of one merge level (size static; the caller runs
+    the >=T strides as XLA cross passes)."""
+    in_refs = refs[:num_ops]
+    out_refs = refs[num_ops:]
+    T = tile_rows * LANES
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
+    e = row * LANES + lane + pl.program_id(0) * T
+    ops = tuple(r[:] for r in in_refs)
+    n_strides = max(1, T.bit_length() - 1)
+
+    def stride_body(si, ops):
+        s = jnp.int32(T) >> (si + 1)
+        return tuple(
+            _dyn_stage(
+                list(ops), num_keys, e, s, jnp.int32(size), tile_rows,
+                ascend_at,
+            )
+        )
+
+    ops = jax.lax.fori_loop(0, n_strides, stride_body, ops)
+    for r, x in zip(out_refs, ops):
+        r[:] = x
+
+
+def _cross_stage_region(ops, num_keys, s, size, n, ascend_at):
+    """One XLA compare-exchange at element stride s >= LANES*8 (pairs
+    via reshape halves), with the region-ascending direction rule."""
+    rows = n // LANES
+    sr = s // LANES
+    g = rows // (2 * sr)
+    shaped = [x.reshape(g, 2, sr, LANES) for x in ops]
+    a_ops = [x[:, 0] for x in shaped]
+    b_ops = [x[:, 1] for x in shaped]
+    e_a = jnp.arange(g, dtype=jnp.int32)[:, None, None] * (2 * s)
+    desc = ((e_a & size) != 0) & (size < ascend_at)
+    na, nb = psort._cmp_swap(a_ops, b_ops, num_keys, desc)
+    return [
+        jnp.stack([x, y], axis=1).reshape(rows, LANES)
+        for x, y in zip(na, nb)
+    ]
 
 
 def _shift_fwd(x, step, rows, fill):
@@ -263,33 +382,62 @@ def _partition_sort_planes(operands, num_keys, cmp_keys, tile_rows, n_bins,
     slotted = list(outs[:num_ops])
     overflow = jnp.sum(outs[num_ops][::8, 0])
 
-    # 4. per-bin sorts (each bin region is one VMEM block)
-    bin_spec = pl.BlockSpec(
-        (1, region_rows, LANES), lambda b: (b, 0, 0),
-        memory_space=pltpu.VMEM,
+    # 4. per-bin sorts.  A bin region exceeds what one VMEM sort can
+    # hold, so this is a bitonic network truncated at region size: the
+    # in-VMEM tile pass runs the global direction pattern (prefix of
+    # the region network), then per merge level the >=T strides are XLA
+    # reshape-halves passes and the <T strides one descend kernel.
+    # Levels at region size force ascending so every bin comes out
+    # ascending (the merge direction of the final level is free — its
+    # input is already bitonic).
+    region_el = region_rows * LANES
+    total = n_bins * region_el
+    sort_tile_rows = min(tile_rows, region_rows)
+    T_s = sort_tile_rows * LANES
+    flat_planes = [p.reshape(-1, LANES) for p in slotted]
+    sspec = pl.BlockSpec(
+        (sort_tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    bin_shapes = tuple(
-        jax.ShapeDtypeStruct((n_bins, region_rows, LANES), jnp.uint32)
+    sshapes = tuple(
+        jax.ShapeDtypeStruct((total // LANES, LANES), jnp.uint32)
         for _ in planes
     )
-
-    def _bin_kernel(*refs):
-        in_refs = refs[:num_ops]
-        out_refs = refs[num_ops:]
-        _tile_sort_ascending_kernel(
-            num_ops, cmp_keys, region_rows,
-            *[r.at[0] for r in in_refs], *[r.at[0] for r in out_refs],
+    flat_planes = list(
+        pl.pallas_call(
+            functools.partial(
+                _tile_sort_dyn_kernel, num_ops, cmp_keys, sort_tile_rows,
+                region_el, True,
+            ),
+            grid=(total // T_s,),
+            in_specs=[sspec] * num_ops,
+            out_specs=(sspec,) * num_ops,
+            out_shape=sshapes,
+            interpret=interpret,
+        )(*flat_planes)
+    )
+    size = 2 * T_s
+    while size <= region_el:
+        s = size // 2
+        while s >= T_s:
+            flat_planes = _cross_stage_region(
+                flat_planes, cmp_keys, s, size, total, region_el
+            )
+            s //= 2
+        flat_planes = list(
+            pl.pallas_call(
+                functools.partial(
+                    _descend_kernel, num_ops, cmp_keys, sort_tile_rows,
+                    size, region_el,
+                ),
+                grid=(total // T_s,),
+                in_specs=[sspec] * num_ops,
+                out_specs=(sspec,) * num_ops,
+                out_shape=sshapes,
+                interpret=interpret,
+            )(*flat_planes)
         )
-
-    sorted_bins = pl.pallas_call(
-        _bin_kernel,
-        grid=(n_bins,),
-        in_specs=[bin_spec] * num_ops,
-        out_specs=(bin_spec,) * num_ops,
-        out_shape=bin_shapes,
-        interpret=interpret,
-    )(*slotted)
-    flat = [p.reshape(-1) for p in sorted_bins]
+        size *= 2
+    flat = [p.reshape(-1) for p in flat_planes]
     return flat, overflow
 
 
@@ -339,9 +487,12 @@ def partition_sort(operands, num_keys, cmp_keys=2, tile_rows=None,
             8,
             CAP_FACTOR * n // (DEFAULT_REGION_ROWS * LANES),
         )
-        # cap must be a multiple of LANES
-        while (CAP_FACTOR * tile_rows * LANES // n_bins) % LANES:
-            n_bins //= 2
+    # slot capacity must be a whole number of 8-sublane blocks (TPU
+    # BlockSpec granularity)
+    while n_bins > 1 and (CAP_FACTOR * tile_rows * LANES // n_bins) % (
+        8 * LANES
+    ):
+        n_bins //= 2
     T = tile_rows * LANES
     assert n % T == 0, (n, T)
     n_tiles = n // T
