@@ -121,3 +121,26 @@ def test_compact_matches_dense_on_fragmented_reads(rng):
     np.testing.assert_array_equal(paths.offsets, dense.offsets)
     np.testing.assert_array_equal(paths.edges, dense.edges)
     np.testing.assert_array_equal(paths.start, dense.start)
+
+
+def test_path_reads_k_exceeds_read_length(rng):
+    """AddNewStuff re-paths reads against the rebuilt K graph; when K >
+    read length every path must be empty (not a crash) — the reference
+    pather finds no seed for such reads either."""
+    from w2rap_contigger_tpu.graph import build as gb
+
+    k = 31
+    seqs = [rng.integers(0, 4, size=200).astype(np.uint8)]
+    seg = np.array([0, 200], dtype=np.int64)
+    d = ke.count_kmers_flat(np.concatenate(seqs), seg, k, min_freq=1)
+    gb.recompute_adjacencies(d)
+    eb, es = gb.build_unitigs(d)
+    hbv, fx, rx = gb.build_hbv_from_edges(eb, es, k)
+    short = ReadSet.from_sequences(
+        [rng.integers(0, 4, size=20).astype(np.uint8) for _ in range(5)],
+        [np.full(20, 35, np.uint8)] * 5,
+    )
+    paths = pather.path_reads(short, d, hbv, fx, rx, chunk_reads=8)
+    assert paths.n_reads == 5
+    assert paths.edges.size == 0
+    assert np.all(np.diff(paths.offsets) == 0)

@@ -353,6 +353,17 @@ def path_reads(
     k = d.k
     n = reads.n_reads
     L = reads.max_len
+    if L < k:
+        # reads shorter than k contain no kmer at all: every path is
+        # empty (the reference's pather finds no seed for them either,
+        # BuildReadQGraph.cc:497-505).  Hit in practice by AddNewStuff's
+        # re-pathing when K exceeds the read length (K=260 on 250bp
+        # reads), which otherwise crashes on a negative position count.
+        return ReadPathVec(
+            np.zeros(n + 1, dtype=np.int64),
+            np.zeros(0, dtype=np.int32),
+            np.zeros(n, dtype=np.int32),
+        )
     wp, cp, kdef, mp = ke.padded_dict_views(d)
     n_iters = max(1, int(np.ceil(np.log2(mp + 1))))
 
