@@ -20,7 +20,7 @@ python -u -c "
 import resource, runpy, sys, time
 sys.argv = ['w2rap_contigger_tpu', '-r', '$OUT/reads_R1.fastq,$OUT/reads_R2.fastq',
             '-o', '$OUT/out', '-p', 'pe', '-K', '260', '-m', '$MEM',
-            '-d', '4', '--tmp_dir', '$OUT/tmp', '--dump_perf']
+            '-d', '4', '--tmp_dir', '$OUT/tmp', '--dump_perf', '--dump_all']
 t0 = time.time()
 runpy.run_module('w2rap_contigger_tpu', run_name='__main__')
 kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
