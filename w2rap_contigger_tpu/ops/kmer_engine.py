@@ -405,7 +405,7 @@ def _native_count_lib():
         return None
     import jax
 
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() != "cpu":
         return None
     from .. import native
 
@@ -623,7 +623,7 @@ def count_kmers_flat(
         empty = np.zeros((0, W), dtype=np.uint32)
         return KmerDict(empty, np.zeros(0, np.int32), np.zeros(0, np.uint32), k)
 
-    if mesh is None and not interpret:
+    if mesh is None and not interpret and device_pipeline is not True:
         _nlib = _native_count_lib()
         if _nlib is not None:
             return _count_kmers_flat_native(
@@ -1227,28 +1227,44 @@ def _count_kmers_spill_native(lib, bases, lengths, quals, k, W, min_qual,
     lib.w2rap_collapse_batch.restype = ctypes.c_int64
     hist = np.zeros(101, dtype=np.int64)
     parts = []
-    for ri in range(R):
-        path = os.path.join(tmp_dir, f"kmer_batch_{ri:04d}.bin")
-        n_rows = int(range_counts[ri])
-        if n_rows == 0:
+    try:
+        for ri in range(R):
+            path = os.path.join(tmp_dir, f"kmer_batch_{ri:04d}.bin")
+            n_rows = int(range_counts[ri])
+            if n_rows == 0:
+                os.remove(path)
+                continue
+            out_w = np.empty((n_rows, W), dtype=np.uint32)
+            out_x = np.empty(n_rows, dtype=np.uint8)
+            out_c = np.empty(n_rows, dtype=np.uint8)
+            m = lib.w2rap_collapse_batch(
+                path.encode(), ctypes.c_int64(n_rows), ctypes.c_int32(W),
+                out_w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                out_x.ctypes.data_as(u8p), out_c.ctypes.data_as(u8p),
+            )
+            if m < 0:
+                raise OSError(f"native batch collapse of {path} failed")
             os.remove(path)
-            continue
-        out_w = np.empty((n_rows, W), dtype=np.uint32)
-        out_x = np.empty(n_rows, dtype=np.uint8)
-        out_c = np.empty(n_rows, dtype=np.uint8)
-        m = lib.w2rap_collapse_batch(
-            path.encode(), ctypes.c_int64(n_rows), ctypes.c_int32(W),
-            out_w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-            out_x.ctypes.data_as(u8p), out_c.ctypes.data_as(u8p),
-        )
-        if m < 0:
-            raise OSError(f"native batch collapse of {path} failed")
-        os.remove(path)
-        cnt = out_c[:m]
-        np.add.at(hist, np.minimum(cnt, 100), 1)
-        keep = cnt >= min_freq
-        parts.append((out_w[:m][keep].copy(), cnt[keep].copy(),
-                      out_x[:m][keep].copy()))
+            cnt = out_c[:m]
+            np.add.at(hist, np.minimum(cnt, 100), 1)
+            keep = cnt >= min_freq
+            parts.append((out_w[:m][keep].copy(), cnt[keep].copy(),
+                          out_x[:m][keep].copy()))
+    except BaseException:
+        # don't leak the per-range batch files (or an owned tmp dir) if
+        # a collapse fails partway
+        for rj in range(R):
+            p = os.path.join(tmp_dir, f"kmer_batch_{rj:04d}.bin")
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        if own_tmp:
+            try:
+                os.rmdir(tmp_dir)
+            except OSError:
+                pass
+        raise
     hist[0] = 0
     if own_tmp:
         try:

@@ -258,6 +258,22 @@ def _partition_kernel(num_ops, cmp_keys, real_keys, tile_rows, n_bins, cap,
         sent = sent & (x[j] == FULL)
     n_valid = jnp.sum((~sent).astype(jnp.int32))
 
+    # Phase A sorted this tile on only the first cmp_keys words, so a
+    # REAL row whose first cmp_keys words are all-FULL (possible for
+    # rc-palindromic monsters at K>=64) ties with the sentinel rows and
+    # may be ordered after them — breaking the [0, n_valid) contiguity
+    # this kernel's positional mask relies on and silently dropping the
+    # row.  Raise the overflow flag for that input class so the caller
+    # takes the exact lax fallback (a fired flag must never produce a
+    # wrong dictionary, only a recount).
+    if cmp_keys < real_keys:
+        ambig = x[0] == FULL
+        for j in range(1, cmp_keys):
+            ambig = ambig & (x[j] == FULL)
+        ambig_rows = jnp.sum((ambig & ~sent).astype(jnp.int32))
+    else:
+        ambig_rows = jnp.int32(0)
+
     # s_b = #elements with key < splitter_b (lexicographic over the
     # first cmp_keys words) into SMEM scratch; s_0 = 0, s_B = n_valid.
     # fori_loop, not a static unroll: a fully unrolled n_bins-iteration
@@ -302,7 +318,7 @@ def _partition_kernel(num_ops, cmp_keys, real_keys, tile_rows, n_bins, cap,
             out_refs[j][b] = jnp.where(valid, chunk, fill)
         return overflow
 
-    overflow = jax.lax.fori_loop(0, n_bins, _fill_slot, jnp.int32(0))
+    overflow = jax.lax.fori_loop(0, n_bins, _fill_slot, ambig_rows)
     flag_ref[:, :] = jnp.full((8, LANES), overflow, dtype=jnp.int32)
 
 

@@ -655,9 +655,14 @@ def assemble_gaps2(hbv, paths, reads, pair_sample=PAIR_SAMPLE,
     else:
         with ThreadPoolExecutor(max_workers=threads) as pool:
             results = list(pool.map(run_blob, LR))
+    solved = 0
     for pieces in results:
         if pieces:
+            solved += 1
             new_stuff.extend(pieces)
+    if verbose:
+        print(f"AssembleGaps2: {solved}/{len(LR)} blobs solved, "
+              f"{len(new_stuff)} pieces")
     return new_stuff
 
 
@@ -671,135 +676,134 @@ def _process_blob(hbv, paths, reads, layout, lefts, rights, k,
     from ..graph.lines import edge_paths
     from ..ops import correction
 
-    if True:
-        pids = find_pids_st(lefts, rights, layout, pair_sample=pair_sample)
-        if not pids:
-            return None
-        rids = np.array(
-            sorted({r for p in pids for r in (2 * p, 2 * p + 1)}),
-            dtype=np.int64,
-        )
-        sub = ReadSet(
-            reads.bases[rids].copy(),
-            reads.lengths[rids].copy(),
-            reads.quals[rids].copy(),
-        )
-        corrected, _creads, _cquals, _done = correction.correction_suite(sub)
-        seqs = [np.asarray(s, dtype=np.uint8) for exp in corrected
-                for s in exp]
-        if not seqs:
-            return None
-        k2_sel = select_k2([len(exp[0]) for exp in corrected if exp])
+    pids = find_pids_st(lefts, rights, layout, pair_sample=pair_sample)
+    if not pids:
+        return None
+    rids = np.array(
+        sorted({r for p in pids for r in (2 * p, 2 * p + 1)}),
+        dtype=np.int64,
+    )
+    sub = ReadSet(
+        reads.bases[rids].copy(),
+        reads.lengths[rids].copy(),
+        reads.quals[rids].copy(),
+    )
+    corrected, _creads, _cquals, _done = correction.correction_suite(sub)
+    seqs = [np.asarray(s, dtype=np.uint8) for exp in corrected
+            for s in exp]
+    if not seqs:
+        return None
+    k2_sel = select_k2([len(exp[0]) for exp in corrected if exp])
 
-        root_left = [hbv.edge_seq(e) for e in lefts]
-        root_right = [hbv.edge_seq(e) for e in rights]
+    root_left = [hbv.edge_seq(e) for e in lefts]
+    root_right = [hbv.edge_seq(e) for e in rights]
 
-        final = None
-        tried = set()
-        for k2_floor in K2_FLOOR_SEQUENCE:
-            k2 = snap_engine_k(max(k2_sel, k2_floor))
-            if k2 in tried:
-                continue  # next k2_floor
-            tried.add(k2)
-            built = _local_graph(seqs, k2, min_freq=2)
-            if built is None:
-                continue
-            d2, lhb, fx, rx = built
-            lowcov = _low_coverage_set(built, seqs, k2)
-            starts = _edges_with_shared_kmers(d2, lhb, fx, rx, root_left, k2)
-            starts -= lowcov
-            stops = _edges_with_shared_kmers(d2, lhb, fx, rx, root_right, k2)
-            stops -= lowcov
-            if not starts or not stops:
-                continue
-            # edges between starts and stops (EdgesSomewhereBetween)
-            fwd = _reachable_edges(lhb, starts, forward=True, blocked=lowcov)
-            bwd = _reachable_edges(lhb, stops, forward=False, blocked=lowcov)
-            keep = ((fwd & bwd) | starts | stops) - lowcov
-            dels = [e for e in range(lhb.n_edges) if e not in keep]
-            from ..paths.read_paths import ReadPathVec
-
-            empty = ReadPathVec(
-                np.zeros(1, np.int64), np.zeros(0, np.int32),
-                np.zeros(0, np.int32),
-            )
-            lhb2, _ = gops.delete_edges(lhb, empty, np.array(dels, dtype=np.int64)) \
-                if dels else (lhb, None)
-            lhb2, _ = gops.squeeze(lhb2, empty)
-            if lhb2.n_edges == 0:
-                continue
-            if not gops.has_cycle(lhb2, np.arange(lhb2.n_vertices)):
-                final = lhb2
-                break
-        if final is None:
-            return None
-
-        # bpaths: all source-sink edge paths
-        indeg = final.in_degree()
-        outdeg = final.out_degree()
-        sources = np.flatnonzero(indeg == 0)
-        sinks = np.flatnonzero(outdeg == 0)
-        bpaths = []
-        overflow = False
-        for v in sources:
-            for w in sinks:
-                ok, ps = edge_paths(final, int(v), int(w), max_bpaths)
-                if not ok:
-                    overflow = True
-                    break
-                for p in ps:
-                    b = final.edge_seq(p[0]).copy()
-                    for e in p[1:]:
-                        b = np.concatenate(
-                            [b[: -(final.k - 1)], final.edge_seq(e)]
-                        )
-                    bpaths.append(b)
-                if len(bpaths) > max_bpaths:
-                    overflow = True
-                    break
-            if overflow:
-                break
-        if overflow or not bpaths:
-            return None
-        # left/right root extensions (AssembleGaps.cc:432-460)
-        for group, other_end in ((lefts, True), (rights, False)):
-            for l in group:
-                ext = False
-                for m in group:
-                    if other_end and hbv.to_right[m] == hbv.to_left[l]:
-                        b = np.concatenate(
-                            [hbv.edge_seq(m)[: -(k - 1)], hbv.edge_seq(l)]
-                        )
-                        bpaths.append(b.copy())
-                        ext = True
-                    if (not other_end) and hbv.to_left[m] == hbv.to_right[l]:
-                        b = np.concatenate(
-                            [hbv.edge_seq(l)[: -(k - 1)], hbv.edge_seq(m)]
-                        )
-                        bpaths.append(b.copy())
-                        ext = True
-                if not ext:
-                    bpaths.append(hbv.edge_seq(l).copy())
-
-        # BasesToGraph at K + Patch's new_stuff extraction
-        built = _local_graph(bpaths, k, min_freq=1)
+    final = None
+    tried = set()
+    for k2_floor in K2_FLOOR_SEQUENCE:
+        k2 = snap_engine_k(max(k2_sel, k2_floor))
+        if k2 in tried:
+            continue  # next k2_floor
+        tried.add(k2)
+        built = _local_graph(seqs, k2, min_freq=2)
         if built is None:
-            return None
-        _, mhb, _, _ = built
-        pieces = []
-        for e in range(mhb.n_edges):
-            pieces.append(mhb.edge_seq(e).copy())
-        mfo, mfe, mto, mte = mhb.vertex_csr()
-        for v in range(mhb.n_vertices):
-            for e1 in mte[mto[v] : mto[v + 1]]:
-                for e2 in mfe[mfo[v] : mfo[v + 1]]:
-                    s1 = mhb.edge_seq(int(e1))
-                    s2 = mhb.edge_seq(int(e2))
-                    # TrimCat (K-1 overlap join)
-                    pieces.append(
-                        np.concatenate([s1[: -(k - 1)], s2]).copy()
+            continue
+        d2, lhb, fx, rx = built
+        lowcov = _low_coverage_set(built, seqs, k2)
+        starts = _edges_with_shared_kmers(d2, lhb, fx, rx, root_left, k2)
+        starts -= lowcov
+        stops = _edges_with_shared_kmers(d2, lhb, fx, rx, root_right, k2)
+        stops -= lowcov
+        if not starts or not stops:
+            continue
+        # edges between starts and stops (EdgesSomewhereBetween)
+        fwd = _reachable_edges(lhb, starts, forward=True, blocked=lowcov)
+        bwd = _reachable_edges(lhb, stops, forward=False, blocked=lowcov)
+        keep = ((fwd & bwd) | starts | stops) - lowcov
+        dels = [e for e in range(lhb.n_edges) if e not in keep]
+        from ..paths.read_paths import ReadPathVec
+
+        empty = ReadPathVec(
+            np.zeros(1, np.int64), np.zeros(0, np.int32),
+            np.zeros(0, np.int32),
+        )
+        lhb2, _ = gops.delete_edges(lhb, empty, np.array(dels, dtype=np.int64)) \
+            if dels else (lhb, None)
+        lhb2, _ = gops.squeeze(lhb2, empty)
+        if lhb2.n_edges == 0:
+            continue
+        if not gops.has_cycle(lhb2, np.arange(lhb2.n_vertices)):
+            final = lhb2
+            break
+    if final is None:
+        return None
+
+    # bpaths: all source-sink edge paths
+    indeg = final.in_degree()
+    outdeg = final.out_degree()
+    sources = np.flatnonzero(indeg == 0)
+    sinks = np.flatnonzero(outdeg == 0)
+    bpaths = []
+    overflow = False
+    for v in sources:
+        for w in sinks:
+            ok, ps = edge_paths(final, int(v), int(w), max_bpaths)
+            if not ok:
+                overflow = True
+                break
+            for p in ps:
+                b = final.edge_seq(p[0]).copy()
+                for e in p[1:]:
+                    b = np.concatenate(
+                        [b[: -(final.k - 1)], final.edge_seq(e)]
                     )
-        return pieces
+                bpaths.append(b)
+            if len(bpaths) > max_bpaths:
+                overflow = True
+                break
+        if overflow:
+            break
+    if overflow or not bpaths:
+        return None
+    # left/right root extensions (AssembleGaps.cc:432-460)
+    for group, other_end in ((lefts, True), (rights, False)):
+        for l in group:
+            ext = False
+            for m in group:
+                if other_end and hbv.to_right[m] == hbv.to_left[l]:
+                    b = np.concatenate(
+                        [hbv.edge_seq(m)[: -(k - 1)], hbv.edge_seq(l)]
+                    )
+                    bpaths.append(b.copy())
+                    ext = True
+                if (not other_end) and hbv.to_left[m] == hbv.to_right[l]:
+                    b = np.concatenate(
+                        [hbv.edge_seq(l)[: -(k - 1)], hbv.edge_seq(m)]
+                    )
+                    bpaths.append(b.copy())
+                    ext = True
+            if not ext:
+                bpaths.append(hbv.edge_seq(l).copy())
+
+    # BasesToGraph at K + Patch's new_stuff extraction
+    built = _local_graph(bpaths, k, min_freq=1)
+    if built is None:
+        return None
+    _, mhb, _, _ = built
+    pieces = []
+    for e in range(mhb.n_edges):
+        pieces.append(mhb.edge_seq(e).copy())
+    mfo, mfe, mto, mte = mhb.vertex_csr()
+    for v in range(mhb.n_vertices):
+        for e1 in mte[mto[v] : mto[v + 1]]:
+            for e2 in mfe[mfo[v] : mfo[v + 1]]:
+                s1 = mhb.edge_seq(int(e1))
+                s2 = mhb.edge_seq(int(e2))
+                # TrimCat (K-1 overlap join)
+                pieces.append(
+                    np.concatenate([s1[: -(k - 1)], s2]).copy()
+                )
+    return pieces
 
 
 def _reachable_edges(hbv, seed_edges, forward=True, blocked=frozenset()):
