@@ -219,7 +219,14 @@ def main():
     t0 = time.time()
     _ = np.asarray(down_dev)
     down_s = time.time() - t0
-    dict_mb = (d.words.nbytes + d.ctx.nbytes + d.counts.nbytes) / 1e6
+    if d.dev is not None:
+        # device-resident dict: only per-tile counts + the 101-bin
+        # histogram crossed the link during e2e (the hist download also
+        # synchronizes the timed call — all outputs of the one compaction
+        # executable materialize together)
+        dict_mb = 0.0
+    else:
+        dict_mb = (d.words.nbytes + d.ctx.nbytes + d.counts.nbytes) / 1e6
 
     print(
         json.dumps(
@@ -238,6 +245,7 @@ def main():
                     "link_up_MBps": round(8 / max(up_s - rtt, 1e-9), 1),
                     "link_down_MBps": round(16 / max(down_s - rtt, 1e-9), 1),
                     "dict_download_mb": round(dict_mb, 1),
+                    "dev_dict": d.dev is not None,
                     "reads": n_reads,
                     "unique_kmers": int(d.size),
                     "sort_backend": backend,

@@ -354,3 +354,76 @@ def test_native_count_matches_xla(rng, monkeypatch):
         np.testing.assert_array_equal(f_x.words, f_n.words)
         np.testing.assert_array_equal(f_x.counts, f_n.counts)
         np.testing.assert_array_equal(f_x.ctx, f_n.ctx)
+
+
+def test_device_resident_dict(monkeypatch, rng):
+    """W2RAP_DEV_DICT=1 keeps the dict on device; host mirrors, padded
+    views, histogram and size must all match the download path."""
+    n, L, k = 64, 120, 60
+    bases = rng.integers(0, 4, size=(n, L)).astype(np.uint8)
+    # duplicate some reads so counts exceed 1
+    bases[n // 2 :] = bases[: n - n // 2]
+    lengths = np.full(n, L, np.int32)
+    quals = np.full((n, L), 35, np.uint8)
+    monkeypatch.delenv("W2RAP_DEV_DICT", raising=False)
+    d0, h0 = ke.count_kmers_device(
+        bases, lengths, quals, k, min_freq=2, interpret=True
+    )
+    monkeypatch.setenv("W2RAP_DEV_DICT", "1")
+    d1, h1 = ke.count_kmers_device(
+        bases, lengths, quals, k, min_freq=2, interpret=True
+    )
+    assert d1.dev is not None
+    assert d1.size == d0.size
+    np.testing.assert_array_equal(h0, h1)
+    wp, cp, kd, mp = ke.padded_dict_views(d1)
+    assert kd is None  # no kdef before graph construction
+    assert mp == d1.dev["m_pad"]
+    np.testing.assert_array_equal(np.asarray(wp)[: d1.size], d0.words)
+    np.testing.assert_array_equal(
+        np.asarray(cp)[: d1.size].astype(np.uint32), d0.ctx
+    )
+    assert np.all(np.asarray(wp)[d1.size :] == 0xFFFFFFFF)
+    # lazy host materialization
+    np.testing.assert_array_equal(d0.words, d1.words)
+    np.testing.assert_array_equal(d0.counts, d1.counts)
+    np.testing.assert_array_equal(d0.ctx, d1.ctx)
+
+
+def test_device_dict_step2_graph_equal(monkeypatch, rng):
+    """Full step-2 (adjacencies -> unitigs -> kdef -> padded views) is
+    bit-identical between the device-resident and download dict paths."""
+    from w2rap_contigger_tpu.graph import build as gb
+
+    k = 60
+    genome = rng.integers(0, 4, size=4000).astype(np.uint8)
+    rlen = 150
+    seqs = [genome[s : s + rlen] for s in range(0, len(genome) - rlen, 11)]
+    bases = np.stack(seqs).astype(np.uint8)
+    n = bases.shape[0]
+    lengths = np.full(n, rlen, np.int32)
+    quals = np.full((n, rlen), 35, np.uint8)
+
+    results = []
+    for env in ("0", "1"):
+        monkeypatch.setenv("W2RAP_DEV_DICT", env)
+        d, _ = ke.count_kmers_device(
+            bases, lengths, quals, k, min_freq=2, interpret=True
+        )
+        assert (d.dev is not None) == (env == "1")
+        gb.recompute_adjacencies(d)
+        edge_bases, edge_start = gb.build_unitigs(d)
+        wp, cp, kd, mp = ke.padded_dict_views(d)
+        results.append(
+            (edge_bases, edge_start, np.asarray(wp), np.asarray(cp),
+             tuple(np.asarray(x) for x in kd), mp)
+        )
+    a, b = results
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+    np.testing.assert_array_equal(a[2], b[2])
+    np.testing.assert_array_equal(a[3].astype(np.uint32),
+                                  b[3].astype(np.uint32))
+    for x, y in zip(a[4], b[4]):
+        np.testing.assert_array_equal(x, y)
+    assert a[5] == b[5]

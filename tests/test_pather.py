@@ -144,3 +144,31 @@ def test_path_reads_k_exceeds_read_length(rng):
     assert paths.n_reads == 5
     assert paths.edges.size == 0
     assert np.all(np.diff(paths.offsets) == 0)
+
+
+def test_native_matches_xla_paths(rng, monkeypatch):
+    """The C++ pathing leaf must be bit-identical to the XLA lookup +
+    shared decode, including on reads with errors (lookup misses)."""
+    g, reads, d, hbv, fx, rx = make_pipeline(rng, 3000, 120, 60, err=0.02)
+    monkeypatch.setenv("W2RAP_NATIVE_PATH", "0")
+    p0 = pather.path_reads(reads, d, hbv, fx, rx, chunk_reads=256)
+    monkeypatch.setenv("W2RAP_NATIVE_PATH", "1")
+    assert pather._native_path_lib() is not None
+    p1 = pather.path_reads(reads, d, hbv, fx, rx, chunk_reads=256)
+    np.testing.assert_array_equal(p0.offsets, p1.offsets)
+    np.testing.assert_array_equal(p0.edges, p1.edges)
+    np.testing.assert_array_equal(p0.start, p1.start)
+
+
+def test_native_slot_overflow_rerun(rng, monkeypatch):
+    """With a tiny slot capacity every read overflows; the native
+    wrapper re-runs with a larger S and still matches."""
+    g, reads, d, hbv, fx, rx = make_pipeline(rng, 2000, 100, 60, err=0.05)
+    monkeypatch.setenv("W2RAP_NATIVE_PATH", "0")
+    p0 = pather.path_reads(reads, d, hbv, fx, rx, chunk_reads=256)
+    monkeypatch.setenv("W2RAP_NATIVE_PATH", "1")
+    monkeypatch.setattr(pather, "RUN_SLOTS", 2)
+    p1 = pather.path_reads(reads, d, hbv, fx, rx, chunk_reads=256)
+    np.testing.assert_array_equal(p0.offsets, p1.offsets)
+    np.testing.assert_array_equal(p0.edges, p1.edges)
+    np.testing.assert_array_equal(p0.start, p1.start)

@@ -42,10 +42,12 @@ FULL = np.uint32(0xFFFFFFFF)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_iters"))
-def _recompute_adjacencies_dev(words, ctx, k: int, n_iters: int):
-    """Prune context bits whose neighbor kmer is absent from the dict."""
-    table_t = words.T
+def _adjacencies_core(table_words, words, ctx, k: int, n_iters: int):
+    """Prune context bits whose neighbor kmer is absent from the dict.
+
+    table_words is the full sorted table; words/ctx may be a row slice
+    of it (the multi-chip form shards rows, table replicated)."""
+    table_t = table_words.T
     new_ctx = jnp.zeros_like(ctx)
     for code in range(4):
         succ = bk.to_successor(words, np.uint32(code), k)
@@ -63,18 +65,39 @@ def _recompute_adjacencies_dev(words, ctx, k: int, n_iters: int):
     return new_ctx
 
 
-def recompute_adjacencies(d):
-    """d: ops.kmer_engine.KmerDict; updates d.ctx in place (host mirror)."""
+@functools.partial(jax.jit, static_argnames=("k", "n_iters"))
+def _recompute_adjacencies_dev(words, ctx, k: int, n_iters: int):
+    return _adjacencies_core(words, words, ctx, k, n_iters)
+
+
+def recompute_adjacencies(d, mesh=None):
+    """d: ops.kmer_engine.KmerDict; updates d.ctx in place (host mirror
+    or device view).  mesh: optional jax.sharding.Mesh — rows shard
+    across chips with the table replicated; bit-identical."""
     if d.size == 0:
         return d
     from ..ops.kmer_engine import padded_dict_views
 
     wp, cp, _, mp = padded_dict_views(d)
     n_iters = max(1, int(np.ceil(np.log2(mp + 1))))
-    new_ctx = _recompute_adjacencies_dev(
-        jnp.asarray(wp), jnp.asarray(cp), d.k, n_iters
-    )
-    d.ctx = np.asarray(new_ctx)[: d.size]
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+
+        new_ctx = pmesh.recompute_adjacencies_sharded(
+            mesh, jnp.asarray(wp), jnp.asarray(cp), d.k, n_iters
+        )
+    else:
+        new_ctx = _recompute_adjacencies_dev(
+            jnp.asarray(wp), jnp.asarray(cp), d.k, n_iters
+        )
+    if d.dev is not None:
+        # device-resident dict: the pruned context stays on device
+        # (padding rows have empty contexts so theirs is still 0); the
+        # host mirror re-materializes lazily if anything asks for it
+        d.dev["ctx"] = new_ctx
+        d._ctx = None
+    else:
+        d.ctx = np.asarray(new_ctx)[: d.size]
     return d
 
 
@@ -83,31 +106,38 @@ def recompute_adjacencies(d):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_iters"))
-def _build_links_dev(words, ctx, k: int, n_iters: int):
-    """next[n] for oriented nodes n = i + o*M (o=0 fwd canonical, o=1 rc).
+def _links_core(words, ctx, k: int, n_iters: int, node_ids):
+    """next[n] for the oriented nodes in node_ids (n = i + o*M; o=0 fwd
+    canonical, o=1 rc), against the full table words/ctx.
 
-    Returns next (2M,) int32 with -1 where no unitig link leaves n.
+    Returns next int32 with -1 where no unitig link leaves n.  node_ids
+    may be any slice of [0, 2M) — the multi-chip form shards the node
+    space with the table replicated.
     """
     M, W = words.shape
     table_t = words.T
 
     pal = bk.is_palindrome(words, k)
 
-    ctx_o = jnp.concatenate([ctx, kctx.rc_context(ctx)])  # (2M,)
-    words_o = jnp.concatenate([words, bk.rc_words(words, k)], axis=0)
-    pal_o = jnp.concatenate([pal, pal])
+    kid_o = node_ids % M
+    src_rev = node_ids >= M
+    w_k = words[kid_o]
+    w_o = jnp.where(src_rev[:, None], bk.rc_words(w_k, k), w_k)
+    c_k = ctx[kid_o]
+    ctx_o = jnp.where(src_rev, kctx.rc_context(c_k), c_k)
+    pal_o = pal[kid_o]
 
     succ_bits = kctx.succ_bits(ctx_o)
     scount = kctx.popcount4(succ_bits)
     scode = kctx.single_base(succ_bits)
 
-    succ_words = bk.to_successor(words_o, scode.astype(U32), k)
+    succ_words = bk.to_successor(w_o, scode.astype(U32), k)
     succ_canon, succ_isrev = bk.canonicalize(succ_words, k)
     vidx, found = lookup._search(table_t, succ_canon.T, n_iters)
     v = vidx + succ_isrev.astype(jnp.int32) * M  # oriented target node
 
-    vctx = ctx_o[v]
+    vctx_can = ctx[vidx]
+    vctx = jnp.where(succ_isrev, kctx.rc_context(vctx_can), vctx_can)
     vpred = kctx.popcount4(kctx.pred_bits(vctx))
     vpal = pal[vidx]
 
@@ -115,15 +145,17 @@ def _build_links_dev(words, ctx, k: int, n_iters: int):
     # kmer on a single chain; the reference FatalErrs on this pattern
     # ("preoccupied kmers", BuildReadQGraph.cc:296-303) — we break the
     # link instead so the kmers become separate 1-kmer-boundary edges.
-    kid = jnp.arange(M, dtype=jnp.int32)
-    kid_o = jnp.concatenate([kid, kid])
-    src_rev = jnp.concatenate(
-        [jnp.zeros(M, dtype=bool), jnp.ones(M, dtype=bool)]
-    )
     hairpin = (vidx == kid_o) & (succ_isrev != src_rev)
 
     ok = (scount == 1) & found & (~pal_o) & (~vpal) & (vpred == 1) & (~hairpin)
     return jnp.where(ok, v, -1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_iters"))
+def _build_links_dev(words, ctx, k: int, n_iters: int):
+    M = words.shape[0]
+    node_ids = jnp.arange(2 * M, dtype=jnp.int32)
+    return _links_core(words, ctx, k, n_iters, node_ids)
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters",))
@@ -169,12 +201,19 @@ def _oriented_kmer_words(words, rcw, node_ids, M):
     return np.where(ori[:, None], rcw[kid], words[kid])
 
 
-def build_unitigs(d):
+def build_unitigs(d, mesh=None):
     """Build canonical unitig edge set from the dictionary.
 
     Returns (edge_bases flat uint8, edge_start (E+1) int64) and fills
     d.edge_id / d.edge_offset / d.edge_rc per kmer (the KDef equivalent,
     reference src/kmers/ReadPather.h:104).
+
+    mesh: optional jax.sharding.Mesh — the link-building lookups (8
+    searches per kmer, the phase's device wall) shard the oriented node
+    space across chips with the table replicated; bit-identical.  List
+    ranking stays single-chip: it is log-depth gather-bound with a
+    serial dependence across rounds, so each round would need a full
+    all-gather — the link build dominates.
     """
     M = d.size
     k = d.k
@@ -191,7 +230,14 @@ def build_unitigs(d):
 
     wp, cp, _, Mp = padded_dict_views(d)
     n_iters = max(1, int(np.ceil(np.log2(Mp + 1))))
-    nxt_d = _build_links_dev(jnp.asarray(wp), jnp.asarray(cp), k, n_iters)
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+
+        nxt_d = pmesh.build_links_sharded(
+            mesh, jnp.asarray(wp), jnp.asarray(cp), k, n_iters
+        )
+    else:
+        nxt_d = _build_links_dev(jnp.asarray(wp), jnp.asarray(cp), k, n_iters)
     rank_iters = max(1, int(np.ceil(np.log2(2 * Mp + 1))) + 1)
     head_d, rank_d, cyc_d = _list_rank_dev(nxt_d, rank_iters)
 

@@ -281,18 +281,77 @@ class KmerDict:
     graph construction (graph.build), mirroring KDef (ReadPather.h:104).
     """
 
-    def __init__(self, words, counts, ctx, k):
-        self.words = words  # (M, W) uint32 sorted
-        self.counts = counts  # (M,) int32
-        self.ctx = ctx  # (M,) uint8/uint32 context bytes
+    def __init__(self, words, counts, ctx, k, dev=None):
+        self._words = words  # (M, W) uint32 sorted
+        self._counts = counts  # (M,) int32
+        self._ctx = ctx  # (M,) uint8/uint32 context bytes
         self.k = k
         self.edge_id = None  # (M,) int32
         self.edge_offset = None  # (M,) int32
         self.edge_rc = None  # (M,) bool: canonical kmer appears RC on edge
+        # device-resident padded views (TPU counting path): dict with
+        # 'words' (m_pad, W) u32 FULL-padded, 'ctx'/'cnt' (m_pad,) u32,
+        # 'm', 'm_pad' ints, optionally 'kdef' (eid, eoff, erc) device
+        # arrays.  Host mirrors above materialize lazily from these, so
+        # the counting -> adjacency -> unitig -> pathing chain never
+        # re-uploads the table and the warm bench path never downloads
+        # it (the round-3 e2e wall was dominated by exactly those
+        # transfers through the tunnel).
+        self.dev = dev
+
+    def _materialize(self):
+        m = self.dev["m"]
+        if self._words is None:
+            self._words = np.asarray(self.dev["words"])[:m]
+        if self._counts is None:
+            self._counts = np.asarray(self.dev["cnt"])[:m].astype(np.int32)
+        if self._ctx is None:
+            self._ctx = np.asarray(self.dev["ctx"])[:m].astype(np.uint32)
+
+    @property
+    def words(self):
+        if self._words is None and self.dev is not None:
+            self._materialize()
+        return self._words
+
+    @words.setter
+    def words(self, v):
+        self._words = v
+
+    @property
+    def counts(self):
+        if self._counts is None and self.dev is not None:
+            self._materialize()
+        return self._counts
+
+    @counts.setter
+    def counts(self, v):
+        self._counts = v
+
+    @property
+    def ctx(self):
+        if self._ctx is None and self.dev is not None:
+            self._materialize()
+        return self._ctx
+
+    @ctx.setter
+    def ctx(self, v):
+        self._ctx = v
+        # keep the device view coherent if a host write lands on a
+        # device-resident dict (recompute_adjacencies' dev branch
+        # updates self.dev["ctx"] directly and skips this)
+        if self.dev is not None and v is not None:
+            import jax.numpy as _jnp
+
+            pad = np.zeros(self.dev["m_pad"], dtype=np.uint32)
+            pad[: self.dev["m"]] = v
+            self.dev["ctx"] = _jnp.asarray(pad)
 
     @property
     def size(self):
-        return self.words.shape[0]
+        if self.dev is not None:
+            return self.dev["m"]
+        return self._words.shape[0]
 
 
 PAD_QUANTUM = 1 << 21  # row-count quantum for padded device buffers
@@ -833,6 +892,86 @@ def _quantize_octave(n: int, align: int, steps: int = 8) -> int:
     return ((n + step - 1) // step) * step
 
 
+def _payload_mask_core(words, ctx, W, range_bits, range_index):
+    """valid-row mask + (ctx<<8)|1 payload; invalid rows become FULL
+    sentinels (range_bits restricts to one canonical hash range)."""
+    valid = ~bk.words_eq(words, jnp.full((1, W), FULL, dtype=jnp.uint32))
+    if range_bits:
+        shift = np.uint32(32 - range_bits)
+        in_range = (words[:, 0] >> shift) == np.uint32(range_index)
+        valid = valid & in_range
+    payload = jnp.where(valid, (ctx << np.uint32(8)) | np.uint32(1), 0)
+    wout = tuple(
+        jnp.where(valid, words[:, j], FULL) for j in range(W)
+    )
+    return wout, payload
+
+
+_payload_mask_jit = functools.partial(
+    jax.jit, static_argnames=("W", "range_bits", "range_index")
+)(_payload_mask_core)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "k", "W", "range_bits", "range_index"),
+)
+def _kmerize_masked_packed(pr, glen, L, k, W, range_bits, range_index):
+    """One dispatch per chunk: Pallas kmerize from packed rows + the
+    payload mask fused (each separate op through a tunneled backend
+    costs a full round trip)."""
+    from . import pallas_kmer as _pk
+
+    words, ctx, _ = _pk.kmerize_packed_pallas(pr, glen, L, k)
+    return _payload_mask_core(words, ctx, W, range_bits, range_index)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("W", "n_pad", "pad_bits", "min_freq", "interpret"),
+)
+def _sort_collapse_lax(word_parts, payload_parts, W, n_pad, pad_bits,
+                       min_freq, interpret):
+    """Fused lax-path epilogue: concatenate+pad the chunk planes, sort
+    (ctx riding in the last word's pad bits when they fit), strip, and
+    Pallas-collapse — one executable, one dispatch.
+
+    word_parts: tuple of W tuples of per-chunk planes; payload_parts:
+    tuple of per-chunk payload planes."""
+    from . import pallas_collapse as pcol
+
+    def _cat(parts, fill):
+        flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        return jnp.concatenate(
+            [flat, jnp.full(n_pad - flat.shape[0], fill, dtype=jnp.uint32)]
+        )
+
+    if pad_bits >= 8:
+        planes = [_cat(word_parts[j], FULL) for j in range(W - 1)]
+        last = _cat(word_parts[W - 1], FULL)
+        pay = _cat(payload_parts, np.uint32(0))
+        planes.append(last | ((pay >> np.uint32(8)) & np.uint32(0xFF)))
+        sp = list(jax.lax.sort(planes, num_keys=W))
+        ctx_sorted = sp[W - 1] & np.uint32(0xFF)
+        w_last = sp[W - 1] & ~np.uint32(0xFF)
+        sent = sp[0] == FULL
+        for j in range(1, W - 1):
+            sent = sent & (sp[j] == FULL)
+        sent = sent & (w_last == (FULL & ~np.uint32(0xFF)))
+        w_last = jnp.where(sent, FULL, w_last)
+        payload_sorted = jnp.where(
+            sent, np.uint32(0), (ctx_sorted << np.uint32(8)) | np.uint32(1)
+        )
+        sorted_planes = sp[: W - 1] + [w_last, payload_sorted]
+    else:
+        planes = [_cat(word_parts[j], FULL) for j in range(W)]
+        planes.append(_cat(payload_parts, np.uint32(0)))
+        sorted_planes = list(jax.lax.sort(planes, num_keys=W))
+    return pcol.collapse_compact(
+        sorted_planes, interpret=interpret, min_count=min_freq
+    )
+
+
 def count_kmers_device(
     bases,
     lengths,
@@ -870,44 +1009,32 @@ def count_kmers_device(
     if packed_upload:
         from . import pallas_kmer as _pk
 
-        def kmerize(cb, cl, cq):
+        def prep(cb, cl, cq):
             # packed upload: 2-bit bases (4x fewer bytes) + per-read
             # usable length, both computed by one C++ pass — no qual
             # plane crosses the link and no device-side good_lengths
             # recomputation (host->device transfer is the e2e
             # bottleneck on tunneled links)
             pr, glen = _pk.pack_and_glen_host(cb, cq, cl, k, min_qual)
-            return _pk.kmerize_packed_pallas(
-                jnp.asarray(pr), jnp.asarray(glen), L, k
+            return jnp.asarray(pr), jnp.asarray(glen)
+
+        def kmerize_masked(prepped):
+            pr_d, glen_d = prepped
+            return _kmerize_masked_packed(
+                pr_d, glen_d, L, k, W, range_bits, range_index
             )
 
     else:
-        def kmerize(cb, cl, cq):
-            return kmerize_chunk(
-                jnp.asarray(cb), jnp.asarray(cl), jnp.asarray(cq),
-                k, min_qual,
-            )
+        def prep(cb, cl, cq):
+            return jnp.asarray(cb), jnp.asarray(cl), jnp.asarray(cq)
 
-    @functools.partial(jax.jit, static_argnames=())
-    def _payload_mask(words, ctx):
-        valid = ~bk.words_eq(words, jnp.full((1, W), FULL, dtype=jnp.uint32))
-        if range_bits:
-            shift = np.uint32(32 - range_bits)
-            in_range = (words[:, 0] >> shift) == np.uint32(range_index)
-            valid = valid & in_range
-        payload = jnp.where(valid, (ctx << np.uint32(8)) | np.uint32(1), 0)
-        wout = [
-            jnp.where(valid, words[:, j], FULL) for j in range(W)
-        ]
-        return wout, payload
+        def kmerize_masked(prepped):
+            cb_d, cl_d, cq_d = prepped
+            words, ctx, _ = kmerize_chunk(cb_d, cl_d, cq_d, k, min_qual)
+            return _payload_mask_jit(words, ctx, W, range_bits, range_index)
 
-    word_parts = [[] for _ in range(W)]
-    payload_parts = []
-    n_kmers_total = 0
-    for start in range(0, max(n, 1), chunk_reads):
+    def host_chunk(start):
         stop = min(start + chunk_reads, n)
-        if stop <= start:
-            break
         cb = np.asarray(bases[start:stop])
         cl = np.asarray(lengths[start:stop])
         cq = np.asarray(quals[start:stop])
@@ -920,12 +1047,30 @@ def count_kmers_device(
             cb = np.concatenate([cb, np.zeros((padn, L), np.uint8)])
             cl = np.concatenate([cl, np.zeros(padn, np.int32)])
             cq = np.concatenate([cq, np.zeros((padn, L), np.uint8)])
-        words, ctx, _ = kmerize(cb, cl, cq)
-        wout, payload = _payload_mask(words, ctx)
-        for j in range(W):
-            word_parts[j].append(wout[j])
-        payload_parts.append(payload)
-        n_kmers_total += words.shape[0]
+        return prep(cb, cl, cq)
+
+    starts = list(range(0, n, chunk_reads))
+    word_parts = [[] for _ in range(W)]
+    payload_parts = []
+    n_kmers_total = 0
+    if starts:
+        # double-buffer: chunk i+1's host pack + upload runs on a worker
+        # thread while chunk i's kernels are in flight (the reference
+        # streams reads into the kmerizer the same way,
+        # BuildReadQGraph.cc:1062-1081)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(host_chunk, starts[0])
+            for ci, start in enumerate(starts):
+                prepped = fut.result()
+                if ci + 1 < len(starts):
+                    fut = pool.submit(host_chunk, starts[ci + 1])
+                wout, payload = kmerize_masked(prepped)
+                for j in range(W):
+                    word_parts[j].append(wout[j])
+                payload_parts.append(payload)
+                n_kmers_total += payload.shape[0]
 
     if n_kmers_total == 0:
         empty = np.zeros((0, W), dtype=np.uint32)
@@ -999,34 +1144,19 @@ def _device_count_epilogue(
         sorted_planes = psort.bitonic_sort(
             planes, num_keys=W, interpret=interpret
         )
-    elif pad_bits >= 8:
-        # leaf counts are all 1, so the payload is just the ctx byte:
-        # stash it in the last word's pad bits and sort one operand
-        # fewer (20% less traffic through the sort).  Equal kmers stay
-        # adjacent (the 2k kmer bits are most significant); the ctx
-        # bits are stripped back out before the collapse so boundary
-        # detection and the final dictionary see clean words.
-        planes = [_cat(word_parts[j], FULL) for j in range(W - 1)]
-        last = _cat(word_parts[W - 1], FULL)
-        pay = _cat(payload_parts, np.uint32(0))
-        planes.append(last | ((pay >> np.uint32(8)) & np.uint32(0xFF)))
-        sp = list(jax.lax.sort(planes, num_keys=W))
-        ctx_sorted = sp[W - 1] & np.uint32(0xFF)
-        w_last = sp[W - 1] & ~np.uint32(0xFF)
-        sent = sp[0] == FULL
-        for j in range(1, W - 1):
-            sent = sent & (sp[j] == FULL)
-        sent = sent & (w_last == (FULL & ~np.uint32(0xFF)))
-        w_last = jnp.where(sent, FULL, w_last)
-        payload_sorted = jnp.where(
-            sent, np.uint32(0), (ctx_sorted << np.uint32(8)) | np.uint32(1)
-        )
-        sorted_planes = sp[: W - 1] + [w_last, payload_sorted]
-    else:
-        planes = [_cat(word_parts[j], FULL) for j in range(W)]
-        planes.append(_cat(payload_parts, np.uint32(0)))
-        sorted_planes = list(jax.lax.sort(planes, num_keys=W))
-    return _collapse_and_download(sorted_planes, W, k, min_freq, interpret)
+        return _collapse_and_download(sorted_planes, W, k, min_freq,
+                                      interpret)
+    # lax path: the whole concat+pad+sort(+ctx-in-pad-bits strip)+
+    # collapse chain is one fused executable — a tunneled backend pays
+    # one dispatch round trip instead of ~25 (ctx rides in the last
+    # word's pad bits when >=8 of them are free, sorting one operand
+    # fewer; equal kmers stay adjacent because the 2k kmer bits are
+    # most significant)
+    collapsed = _sort_collapse_lax(
+        tuple(tuple(p) for p in word_parts), tuple(payload_parts),
+        W, n_pad, pad_bits, min_freq, interpret,
+    )
+    return _dict_from_collapsed(collapsed, W, k, min_freq)
 
 
 def _radix_sorted_planes(_cat, W, pad_bits, word_parts, payload_parts,
@@ -1075,17 +1205,131 @@ def _radix_sorted_planes(_cat, W, pad_bits, word_parts, payload_parts,
     return sorted_planes, ok
 
 
+@functools.partial(
+    jax.jit, static_argnames=("tile_elems", "m_pad", "num_w")
+)
+def _compact_planes_dev(planes, counts, tile_elems: int, m_pad: int,
+                        num_w: int):
+    """Scatter each collapse tile's kept rows into one globally compact
+    FULL-padded table, entirely on device.
+
+    planes: num_w word planes + payload plane, each (n,) u32 with tile
+    t's kept rows at positions [t*tile_elems, t*tile_elems+counts[t]).
+    Returns (words (m_pad, num_w), ctx (m_pad,), cnt (m_pad,),
+    hist (101,)) — the padded sorted dictionary the lookup kernels use
+    directly, so no dictionary bytes need to cross the link."""
+    # Ascending per-tile BLOCK COPIES via lax.scan (one dynamic slice +
+    # dynamic update per tile): tile t+1's copy lands at base[t+1] =
+    # base[t] + counts[t], overwriting whatever tail garbage tile t's
+    # full-block copy left — and since the collapse kernel fills
+    # non-kept slots with FULL (words) / 0 (payload), the garbage the
+    # LAST copies leave beyond the total is already the correct padding.
+    # (An element-gather formulation measured 5x slower — TPU gathers
+    # of arbitrary indices are near-scalar; contiguous dynamic slices
+    # run at HBM speed.)
+    counts = counts.astype(jnp.int32)
+    n_tiles = counts.shape[0]
+    base = jnp.concatenate(
+        [jnp.zeros(1, dtype=jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    bufs = [
+        jnp.full(m_pad + tile_elems, FULL, dtype=jnp.uint32)
+        for _ in range(num_w)
+    ]
+    bufs.append(jnp.zeros(m_pad + tile_elems, dtype=jnp.uint32))
+
+    def body(b, t):
+        off = base[t]
+        out = []
+        for j in range(num_w + 1):
+            blk = jax.lax.dynamic_slice(
+                planes[j], (t * tile_elems,), (tile_elems,)
+            )
+            out.append(jax.lax.dynamic_update_slice(b[j], blk, (off,)))
+        return out, None
+
+    bufs, _ = jax.lax.scan(
+        body, bufs, jnp.arange(n_tiles, dtype=jnp.int32)
+    )
+    outs = [b[:m_pad] for b in bufs[:num_w]]
+    pay = bufs[num_w][:m_pad]
+    ctx = (pay >> np.uint32(8)) & np.uint32(0xFF)
+    cnt = pay & np.uint32(0xFF)
+    # histogram as compare-reduce (bincount lowers to a serializing
+    # scatter-add on TPU); padding rows have cnt 0 and the host zeroes
+    # bin 0 afterwards
+    cntc = jnp.minimum(cnt, np.uint32(100)).astype(jnp.int32)
+    bins = jnp.arange(101, dtype=jnp.int32)
+    hist = jnp.sum(
+        (cntc[None, :] == bins[:, None]).astype(jnp.int32), axis=1
+    )
+    return jnp.stack(outs, axis=1), ctx, cnt, hist
+
+
+def _use_device_dict() -> bool:
+    """Keep the counted dictionary resident on device (padded views the
+    adjacency/unitig/pathing kernels consume directly).  Default on for
+    the TPU backend; W2RAP_DEV_DICT=0/1 overrides (tests force it on
+    CPU)."""
+    env = os.environ.get("W2RAP_DEV_DICT")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def _collapse_and_download(sorted_planes, W, k, min_freq, interpret):
-    """Collapse a sorted (W word planes + payload) stream and download
-    the dictionary + histogram (the min_freq filter runs on device so
-    only the surviving rows cross the link; the filtered-out kmers'
-    histogram bins 1..min_freq-1 come back in the per-tile stats
-    block)."""
+    """Collapse a sorted (W word planes + payload) stream into the
+    dictionary + histogram (pallas/radix sort branches; the lax branch
+    fuses the collapse into _sort_collapse_lax)."""
     from . import pallas_collapse as pcol
 
-    out_planes, counts, low_bins = pcol.collapse_compact(
+    collapsed = pcol.collapse_compact(
         sorted_planes, interpret=interpret, min_count=min_freq
     )
+    return _dict_from_collapsed(collapsed, W, k, min_freq)
+
+
+def _dict_from_collapsed(collapsed, W, k, min_freq):
+    """Build the (KmerDict, hist) result from collapse outputs.  With
+    the device-dict path (TPU default) the compact padded table stays
+    on device — only the per-tile counts + 101-bin histogram cross the
+    link — and host mirrors materialize lazily; otherwise the
+    min_freq-filtered rows are downloaded (the filtered-out kmers'
+    histogram bins 1..min_freq-1 come back in the per-tile stats block
+    either way)."""
+    from . import pallas_collapse as pcol
+
+    out_planes, counts, low_bins = collapsed
+
+    if _use_device_dict():
+        counts_h = np.asarray(counts)
+        m = int(counts_h.sum())
+        m_pad = max(
+            DICT_QUANTUM,
+            ((m + DICT_QUANTUM - 1) // DICT_QUANTUM) * DICT_QUANTUM,
+        )
+        tile_elems = out_planes[0].shape[0] // max(counts_h.shape[0], 1)
+        words2d, ctx_d, cnt_d, hist_d = _compact_planes_dev(
+            tuple(out_planes), counts, tile_elems, m_pad, W
+        )
+        hist = np.asarray(hist_d).astype(np.int64)
+        lb = np.asarray(low_bins)
+        hist[1 : min(min_freq, 101)] = lb[1 : min(min_freq, 101)]
+        hist[0] = 0
+        d = KmerDict(
+            None, None, None, k,
+            dev={
+                "words": words2d,
+                "ctx": ctx_d,
+                "cnt": cnt_d,
+                "m": m,
+                "m_pad": m_pad,
+            },
+        )
+        return d, hist
+
     words_h, ctx_h, cnt_h = pcol.gather_unique(out_planes, counts)
 
     hist = np.zeros(101, dtype=np.int64)
@@ -1297,7 +1541,28 @@ def padded_dict_views(d, quantum: int = DICT_QUANTUM):
     ctx 0 and kdef fields 0.  Keeps jit cache keys stable across datasets
     — compile time on the TPU backend scales badly with fresh shapes.
     Returns (words_pad, ctx_pad, kdef_pad tuple or None, m_pad).
+
+    Device-resident dicts (d.dev, the TPU counting path) return their
+    on-device padded views directly — zero copies through the link; the
+    kdef planes are uploaded once the first time they're requested
+    after graph construction fills them.
     """
+    if d.dev is not None:
+        dev = d.dev
+        if d.edge_id is not None and "kdef" not in dev:
+            import jax.numpy as _jnp
+
+            m_, mp_ = dev["m"], dev["m_pad"]
+            eid = np.zeros(mp_, dtype=np.int32)
+            eid[:m_] = d.edge_id
+            eoff = np.zeros(mp_, dtype=np.int32)
+            eoff[:m_] = d.edge_offset
+            erc = np.zeros(mp_, dtype=bool)
+            erc[:m_] = d.edge_rc
+            dev["kdef"] = (
+                _jnp.asarray(eid), _jnp.asarray(eoff), _jnp.asarray(erc)
+            )
+        return dev["words"], dev["ctx"], dev.get("kdef"), dev["m_pad"]
     m = d.size
     W = d.words.shape[1] if d.words.ndim == 2 else bk.nwords(d.k)
     m_pad = max(quantum, ((m + quantum - 1) // quantum) * quantum)

@@ -237,6 +237,59 @@ def flat_leaf_sharded(mesh: Mesh, cb, valid, hp, hs, pc, sc, k: int):
     return step(cb, valid, hp, hs, pc, sc)
 
 
+def build_links_sharded(mesh: Mesh, words, ctx, k: int, n_iters: int):
+    """Unitig link construction sharded over the oriented node space
+    (graph.build._links_core slices; table replicated) — the multi-chip
+    form of the EdgeBuilder adjacency walk's lookup storm
+    (BuildReadQGraph.cc:195-337).  Bit-identical to single-chip: chips
+    compute disjoint contiguous slices of next[] that concatenate along
+    the mesh axis."""
+    from ..graph import build as gb
+
+    D = mesh.shape[AXIS]
+    M = words.shape[0]
+    assert (2 * M) % D == 0  # M is quantum-padded, D a power of two
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(jax.P(), jax.P()),
+        out_specs=jax.P(AXIS),
+        check_vma=False,  # per-chip disjoint slices; no collectives
+    )
+    def step(w, c):
+        per = (2 * M) // D
+        di = jax.lax.axis_index(AXIS)
+        node_ids = di * per + jnp.arange(per, dtype=jnp.int32)
+        return gb._links_core(w, c, k, n_iters, node_ids)
+
+    return step(words, ctx)
+
+
+def recompute_adjacencies_sharded(mesh: Mesh, words, ctx, k: int,
+                                  n_iters: int):
+    """Adjacency pruning (8 dictionary searches per kmer) with rows
+    sharded across chips and the table replicated (the AdjProc loop,
+    kmers/ReadPather.h:307-342).  Bit-identical to single-chip."""
+    from ..graph import build as gb
+
+    D = mesh.shape[AXIS]
+    M = words.shape[0]
+    assert M % D == 0
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(jax.P(), jax.P(AXIS), jax.P(AXIS)),
+        out_specs=jax.P(AXIS),
+        check_vma=False,  # per-chip disjoint rows; no collectives
+    )
+    def step(w_full, w_rows, c_rows):
+        return gb._adjacencies_core(w_full, w_rows, c_rows, k, n_iters)
+
+    return step(words, words, ctx)
+
+
 def make_lookup_compact_sharded(mesh: Mesh, k: int, n_iters: int, L: int):
     """Sharded read-pathing lookup: reads data-parallel on the mesh,
     dictionary + translation tables replicated (the multi-chip form of

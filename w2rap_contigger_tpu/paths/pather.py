@@ -334,6 +334,82 @@ def edge_tail_words(hbv):
     return bk.pack_codes(tails, ko)
 
 
+def _native_path_lib():
+    """C++ pathing lookup (native/path_kernel.cc) — the CPU backend's
+    fast path (XLA-CPU's batched dictionary binary search was the
+    parity-mode wall after counting went native).  Returns the loaded
+    library or None (env W2RAP_NATIVE_PATH=0 disables)."""
+    import os
+
+    if os.environ.get("W2RAP_NATIVE_PATH", "1") in ("0", "false", "off"):
+        return None
+    import jax
+
+    if jax.default_backend() != "cpu":
+        return None
+    from .. import native
+
+    return native.load("w2rappath", ["path_kernel.cc"], libs=["pthread"])
+
+
+def _path_reads_native(lib, reads, d, hbv, fwd_xlat, rev_xlat, k,
+                       tail_words) -> ReadPathVec:
+    """One C++ pass over all reads producing the same compact run-start
+    slots as _lookup_compact_impl; decode is the shared numpy tail, so
+    paths are bit-identical to the device path."""
+    import ctypes
+    import os
+
+    n = reads.n_reads
+    L = reads.max_len
+    bases = np.ascontiguousarray(reads.bases, dtype=np.uint8)
+    lengths = np.ascontiguousarray(reads.lengths, dtype=np.int32)
+    words = np.ascontiguousarray(d.words, dtype=np.uint32)
+    m = d.size
+    eid = np.ascontiguousarray(d.edge_id, dtype=np.int32)
+    eoff = np.ascontiguousarray(d.edge_offset, dtype=np.int32)
+    erc = np.ascontiguousarray(d.edge_rc, dtype=np.uint8)
+    fx = np.ascontiguousarray(fwd_xlat, dtype=np.int32)
+    rx = np.ascontiguousarray(rev_xlat, dtype=np.int32)
+    ekm = np.ascontiguousarray(
+        (np.diff(hbv.edge_start) - k + 1)[fwd_xlat].astype(np.int32)
+    )
+    nt = int(os.environ.get("OMP_NUM_THREADS", "0")) or (os.cpu_count() or 1)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.w2rap_path_leaf.restype = ctypes.c_int32
+
+    S = RUN_SLOTS
+    while True:
+        pos_s = np.zeros((n, S), dtype=np.int32)
+        e_s = np.zeros((n, S), dtype=np.int32)
+        off_s = np.zeros((n, S), dtype=np.int32)
+        ekm_s = np.zeros((n, S), dtype=np.int32)
+        nruns = np.zeros(n, dtype=np.int32)
+        mx = lib.w2rap_path_leaf(
+            bases.ctypes.data_as(u8p), lengths.ctypes.data_as(i32p),
+            ctypes.c_int64(n), ctypes.c_int64(L), ctypes.c_int32(k),
+            ctypes.c_int32(words.shape[1] if words.ndim == 2 else 1),
+            words.ctypes.data_as(u32p), ctypes.c_int64(m),
+            eid.ctypes.data_as(i32p), eoff.ctypes.data_as(i32p),
+            erc.ctypes.data_as(u8p), fx.ctypes.data_as(i32p),
+            rx.ctypes.data_as(i32p), ekm.ctypes.data_as(i32p),
+            ctypes.c_int32(S), ctypes.c_int32(nt),
+            pos_s.ctypes.data_as(i32p), e_s.ctypes.data_as(i32p),
+            off_s.ctypes.data_as(i32p), ekm_s.ctypes.data_as(i32p),
+            nruns.ctypes.data_as(i32p),
+        )
+        if mx <= S:
+            break
+        # rare: a read overflowed the slots; re-run with room for it
+        S = 8 * ((int(mx) + 7) // 8)
+    pe, offs, so = _decode_compact(
+        pos_s, e_s, off_s, ekm_s, nruns, lengths, k, tail_words
+    )
+    return ReadPathVec(offs, pe.astype(np.int32), so)
+
+
 def path_reads(
     reads, d, hbv, fwd_xlat, rev_xlat, chunk_reads: int = 262144,
     force_dense: bool = False, mesh=None,
@@ -364,6 +440,14 @@ def path_reads(
             np.zeros(0, dtype=np.int32),
             np.zeros(n, dtype=np.int32),
         )
+    if mesh is None and not force_dense:
+        nlib = _native_path_lib()
+        if nlib is not None:
+            return _path_reads_native(
+                nlib, reads, d, hbv, fwd_xlat, rev_xlat, k,
+                edge_tail_words(hbv),
+            )
+
     wp, cp, kdef, mp = ke.padded_dict_views(d)
     n_iters = max(1, int(np.ceil(np.log2(mp + 1))))
 

@@ -41,15 +41,22 @@ def compute_coverage(hbv, paths, lines):
     nl = len(lines)
     npairs = np.zeros(nl, dtype=np.int64)
     npids = paths.n_reads // 2
-    for pid in range(npids):
-        ls = set()
-        for rid in (2 * pid, 2 * pid + 1):
-            for e in paths.path(rid):
-                ls.add(int(tol[e]))
-                ls.add(int(tol[inv[e]]))
-        ls.discard(-1)
-        for l in ls:
-            npairs[l] += 1
+    if nl and paths.edges.size:
+        # vectorized pair->line incidence (was a per-pair Python loop):
+        # key pid*nl + line, np.unique collapses repeat touches within
+        # a pair, bincount tallies per line
+        read_of = np.repeat(
+            np.arange(paths.n_reads, dtype=np.int64), paths.path_len()
+        )
+        in_pair = read_of < 2 * npids
+        pid = read_of[in_pair] >> 1
+        e = paths.edges[in_pair]
+        ls = np.concatenate([tol[e], tol[inv[e]]])
+        pids = np.concatenate([pid, pid])
+        m = ls >= 0
+        key = pids[m] * np.int64(nl) + ls[m]
+        uniq = np.unique(key)
+        npairs = np.bincount((uniq % nl).astype(np.int64), minlength=nl)
 
     lens = get_line_lengths(hbv, lines)
     covl = np.where(lens > 0, npairs / np.maximum(lens, 1), 0.0)
@@ -111,20 +118,28 @@ def frag_dist(hbv, paths, out_file):
     elen = hbv.edge_len()
     count = np.zeros(MAX_SEP // WIDTH, dtype=np.float64)
     npids = paths.n_reads // 2
-    for pid in range(npids):
-        p1 = paths.path(2 * pid)
-        p2 = paths.path(2 * pid + 1)
-        if len(p1) == 0 or len(p2) == 0:
-            continue
-        e1 = int(p1[0])
-        e2 = int(inv[p2[0]])
-        if e1 != e2 or elen[e1] < MIN_EDGE:
-            continue
-        epos1 = int(paths.start[2 * pid])
-        epos2 = int(elen[e2]) - int(paths.start[2 * pid + 1])
-        sep = epos2 - epos1
-        if 0 <= sep < MAX_SEP:
-            count[sep // WIDTH] += 1
+    if npids and paths.edges.size:
+        # vectorized over all pairs (was a per-pair Python loop)
+        off = paths.offsets
+        plen = np.diff(off)
+        l1 = plen[0 : 2 * npids : 2]
+        l2 = plen[1 : 2 * npids : 2]
+        both = (l1 > 0) & (l2 > 0)
+        pid = np.flatnonzero(both)
+        hi = max(paths.edges.size - 1, 0)
+        e1 = paths.edges[np.minimum(off[2 * pid], hi)].astype(np.int64)
+        e2 = inv[paths.edges[np.minimum(off[2 * pid + 1], hi)]].astype(
+            np.int64
+        )
+        ok = (e1 == e2) & (elen[e1] >= MIN_EDGE)
+        pid, e2 = pid[ok], e2[ok]
+        sep = (
+            elen[e2].astype(np.int64)
+            - paths.start[2 * pid + 1].astype(np.int64)
+            - paths.start[2 * pid].astype(np.int64)
+        )
+        sep = sep[(sep >= 0) & (sep < MAX_SEP)]
+        count += np.bincount(sep // WIDTH, minlength=MAX_SEP // WIDTH)
     total = count.sum()
     with open(out_file, "w") as f:
         f.write("# fragment library size distribution\n")

@@ -81,8 +81,8 @@ def build_read_q_graph(
             for i in range(1, 101):
                 f.write(f"{i}, {hist[i]}\n")
 
-    gb.recompute_adjacencies(d)
-    edge_bases, edge_start = gb.build_unitigs(d)
+    gb.recompute_adjacencies(d, mesh=mesh)
+    edge_bases, edge_start = gb.build_unitigs(d, mesh=mesh)
     if do_fill_gaps or do_join_overlaps:
         from ..graph import gapfill
 

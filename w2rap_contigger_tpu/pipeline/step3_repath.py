@@ -170,8 +170,8 @@ def repath(hbv, paths, k2: int, extend_paths: bool = False, mesh=None):
 
     # ---- K2 graph -----------------------------------------------------
     d2 = ke.count_kmers_flat(flat, seg_offsets, k2, min_freq=1, mesh=mesh)
-    gb.recompute_adjacencies(d2)
-    eb, es = gb.build_unitigs(d2)
+    gb.recompute_adjacencies(d2, mesh=mesh)
+    eb, es = gb.build_unitigs(d2, mesh=mesh)
     hbv2, fx2, rx2 = gb.build_hbv_from_edges(eb, es, k2)
 
     # ---- place walks in the new graph ---------------------------------

@@ -29,20 +29,117 @@ MAX_LINE_TO_IGNORE = _H.GAP_MAX_LINE_TO_IGNORE
 
 
 def _line_npairs(hbv, paths, lines, tol):
-    """GetLineNpairs equivalent: pairs touching each line."""
+    """GetLineNpairs equivalent: pairs touching each line.
+
+    Vectorized: every (pair, line) incidence is a key pid*nl + line;
+    np.unique collapses repeat touches within a pair, bincount tallies
+    per line.  O(path positions), no per-read Python loop."""
     inv = hbv.inv
     nl = len(lines)
-    npairs = np.zeros(nl, dtype=np.int64)
-    for pid in range(paths.n_reads // 2):
-        ls = set()
-        for rid in (2 * pid, 2 * pid + 1):
-            for e in paths.path(rid):
-                ls.add(int(tol[e]))
-                ls.add(int(tol[inv[e]]))
-        ls.discard(-1)
-        for l in ls:
-            npairs[l] += 1
-    return npairs
+    if nl == 0 or paths.edges.size == 0:
+        return np.zeros(nl, dtype=np.int64)
+    read_of = np.repeat(
+        np.arange(paths.n_reads, dtype=np.int64), paths.path_len()
+    )
+    npids = paths.n_reads // 2
+    in_pair = read_of < 2 * npids
+    pid = read_of[in_pair] >> 1
+    e = paths.edges[in_pair]
+    ls = np.concatenate([tol[e], tol[inv[e]]])
+    pids = np.concatenate([pid, pid])
+    m = ls >= 0
+    key = pids[m] * np.int64(nl) + ls[m]
+    uniq = np.unique(key)
+    return np.bincount((uniq % nl).astype(np.int64), minlength=nl)
+
+
+def _near_events(paths, inv, tom, tol, llens):
+    """All 'near' events (e1, e2) across every read pair, vectorized.
+
+    Per pair the reference builds, for two passes,
+      pass 1: x = tom[p1], y = tom[inv[reversed(p2)]]
+      pass 2: x = tom[p2], y = tom[inv[reversed(p1)]]
+    then dedups consecutive values, keeps only edges on lines longer
+    than MAX_LINE_TO_IGNORE, and emits (e1, e2) for every e1 in x NOT
+    present anywhere in y, crossed with every e2 != e1 in y
+    (MakeGaps.cc nears construction).  Consumers only need the event
+    multiset, so this computes it with flat-array arithmetic: per-read
+    dedup masks, a sorted-key membership test for the e1-in-y
+    exclusion, and an offset-arithmetic ragged cross product.
+    """
+    off = paths.offsets
+    e = paths.edges
+    n_reads = paths.n_reads
+    npids = n_reads // 2
+    if e.size == 0 or npids == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    plen = np.diff(off)
+    read_of = np.repeat(np.arange(n_reads, dtype=np.int64), plen)
+    pos = np.arange(e.size, dtype=np.int64) - off[read_of]
+    L = plen[read_of]
+    tom_f = tom[e]  # forward-sequence values
+    tom_r = tom[inv[e]]  # reversed-inv sequence, stored at flat positions
+    # dedup-consecutive: forward keeps seq position j if j==0 or
+    # v[j] != v[j-1]; the reversed sequence's previous element sits at
+    # flat position +1
+    keep_f = np.empty(e.size, dtype=bool)
+    keep_f[0] = True
+    keep_f[1:] = tom_f[1:] != tom_f[:-1]
+    keep_f |= pos == 0
+    keep_r = np.empty(e.size, dtype=bool)
+    keep_r[-1] = True
+    keep_r[:-1] = tom_r[:-1] != tom_r[1:]
+    keep_r |= pos == L - 1
+
+    def _line_ok(v):
+        lv = tol[v]
+        ok = lv >= 0
+        ok &= llens[np.where(ok, lv, 0)] > MAX_LINE_TO_IGNORE
+        return ok
+
+    in_pair = read_of < 2 * npids
+    ok_f = keep_f & _line_ok(tom_f) & in_pair
+    ok_r = keep_r & _line_ok(tom_r) & in_pair
+    pid_of = read_of >> 1
+    even = (read_of & 1) == 0
+    M = np.int64(tom.size + 1)
+    E1_all, E2_all = [], []
+    for x_even in (True, False):  # pass 1, pass 2
+        xm = ok_f & (even if x_even else ~even)
+        ym = ok_r & (~even if x_even else even)
+        xv, xp = tom_f[xm].astype(np.int64), pid_of[xm]
+        yv, yp = tom_r[ym].astype(np.int64), pid_of[ym]
+        if xv.size == 0 or yv.size == 0:
+            continue
+        ny = np.bincount(yp, minlength=npids).astype(np.int64)
+        yoff = np.zeros(npids + 1, dtype=np.int64)
+        yoff[1:] = np.cumsum(ny)
+        # drop x occurrences whose value appears anywhere in the pair's y
+        ykey = np.sort(yp * M + yv)
+        xkey = xp * M + xv
+        pp = np.searchsorted(ykey, xkey)
+        ppc = np.minimum(pp, ykey.size - 1)
+        iny = (pp < ykey.size) & (ykey[ppc] == xkey)
+        xv, xp = xv[~iny], xp[~iny]
+        if xv.size == 0:
+            continue
+        ny_of_x = ny[xp]
+        tot = int(ny_of_x.sum())
+        if tot == 0:
+            continue
+        cro = np.zeros(xv.size + 1, dtype=np.int64)
+        cro[1:] = np.cumsum(ny_of_x)
+        E1 = np.repeat(xv, ny_of_x)
+        ar = np.arange(tot, dtype=np.int64) - np.repeat(cro[:-1], ny_of_x)
+        E2 = yv[yoff[np.repeat(xp, ny_of_x)] + ar]
+        m = E1 != E2
+        E1_all.append(E1[m])
+        E2_all.append(E2[m])
+    if not E1_all:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(E1_all), np.concatenate(E2_all)
 
 
 def _tol(hbv, lines):
@@ -147,50 +244,36 @@ def make_gaps(
                 tom[e3] = tom[e]
 
     # ---- nears from read pairs ---------------------------------------
-    nears = []
-    nears1 = [[] for _ in range(E)]
-    nears2 = [[] for _ in range(E)]
-    for pid in range(paths.n_reads // 2):
-        p1 = [int(x) for x in paths.path(2 * pid)]
-        p2 = [int(x) for x in paths.path(2 * pid + 1)]
-        if not p1 or not p2:
-            continue
-        for pass_ in (1, 2):
-            x = list(p1)
-            y = [int(inv[e]) for e in p2[::-1]]
-            if pass_ == 2:
-                x, y = y, x
-                x = [int(inv[e]) for e in x[::-1]]
-                y = [int(inv[e]) for e in y[::-1]]
-            x = [int(tom[e]) for e in x]
-            y = [int(tom[e]) for e in y]
-            x = [e for j, e in enumerate(x) if j == 0 or e != x[j - 1]]
-            y = [e for j, e in enumerate(y) if j == 0 or e != y[j - 1]]
-            x = [e for e in x if tol[e] >= 0 and llens[tol[e]] > MAX_LINE_TO_IGNORE]
-            y = [e for e in y if tol[e] >= 0 and llens[tol[e]] > MAX_LINE_TO_IGNORE]
-            ys = set(y)
-            for e1 in x:
-                if e1 in ys:
-                    continue
-                for e2 in y:
-                    if e1 != e2:
-                        nears.append((e1, e2))
-                        nears1[e1].append(e2)
-                        nears2[e2].append(e1)
-    nears.sort()
-    for e in range(E):
-        nears1[e].sort()
-        nears2[e].sort()
+    # Vectorized over all pairs at once (was a per-pair Python loop —
+    # hours at wheat scale).  Every downstream consumer of `nears` is
+    # order-insensitive (the list was sorted, and nears1/nears2 only
+    # feed a max-run-length), so only the event MULTISET must match the
+    # reference's per-pair construction — see _near_events.
+    nE1, nE2, = _near_events(paths, inv, tom, tol, llens)
+    if nE1.size:
+        order = np.lexsort((nE2, nE1))
+        nE1, nE2 = nE1[order], nE2[order]
+        nb = np.empty(nE1.size, dtype=bool)
+        nb[0] = True
+        nb[1:] = (nE1[1:] != nE1[:-1]) | (nE2[1:] != nE2[:-1])
+        run_start = np.flatnonzero(nb)
+        run_count = np.diff(np.append(run_start, nE1.size))
+        u1, u2 = nE1[run_start], nE2[run_start]
+    else:
+        u1 = u2 = np.zeros(0, dtype=np.int64)
+        run_count = np.zeros(0, dtype=np.int64)
+    # max multiplicity of any single partner per endpoint — what the
+    # reference reads off sorted nears1[e1]/nears2[e2] run lengths
+    max_alt1 = np.zeros(E, dtype=np.int64)
+    max_alt2 = np.zeros(E, dtype=np.int64)
+    if u1.size:
+        np.maximum.at(max_alt1, u1, run_count)
+        np.maximum.at(max_alt2, u2, run_count)
 
     # ---- link counting with graph-proximity exclusion ----------------
     links = []
     counts = []
-    i = 0
-    while i < len(nears):
-        j = i
-        while j < len(nears) and nears[j] == nears[i]:
-            j += 1
-        e1, e2 = nears[i]
+    for e1, e2, cnt in zip(u1.tolist(), u2.tolist(), run_count.tolist()):
         # BFS within max_depth/max_int around e1 (and its solo predecessor)
         close = False
         x = [e1]
@@ -215,8 +298,7 @@ def make_gaps(
             jx += 1
         if not close:
             links.append((int(tom[e1]), int(tom[e2])))
-            counts.append(j - i)
-        i = j
+            counts.append(int(cnt))
 
     order = np.argsort(
         np.array([l[0] * (E + 1) + l[1] for l in links]) if links else []
@@ -263,15 +345,7 @@ def make_gaps(
             c1, c2 = c2, c1
         if c2 <= 0 or c1 / c2 - 1.0 > MAX_COV_PC_OFF / 100.0:
             continue
-        max_alt = 0
-        for lst in (nears1[e1], nears2[e2]):
-            l = 0
-            while l < len(lst):
-                m = l
-                while m < len(lst) and lst[m] == lst[l]:
-                    m += 1
-                max_alt = max(max_alt, m - l)
-                l = m
+        max_alt = max(int(max_alt1[e1]), int(max_alt2[e2]))
         if max_alt > c:
             continue
         e1x, e2x = advance_bubbles(e1, e2)
@@ -349,27 +423,47 @@ def make_gaps(
     hbv.inv = np.concatenate([hbv.inv, inv_new])
 
     # ---- truncate crossing paths -------------------------------------
-    split_after = {a for a, _ in accepted}
-    split_before = {b for _, b in accepted}
-    lists = []
-    starts = paths.start.astype(np.int64).copy()
-    for rid in range(paths.n_reads):
-        p = [int(x) for x in paths.path(rid)]
-        if p:
-            for j, e in enumerate(p):
-                if e in split_after and j + 1 < len(p):
-                    p = p[: j + 1]
-                    break
-            # keep from LAST occurrence of a split-before edge
-            last = None
-            for j, e in enumerate(p):
-                if e in split_before:
-                    last = j
-            if last is not None and last > 0:
-                starts[rid] -= int(np.sum(kmers[p[:last]]))
-                p = p[last:]
-        lists.append(p)
-    paths = ReadPathVec.from_lists(lists, starts.astype(np.int32))
+    # Vectorized (was a per-read Python loop): cut each path after the
+    # FIRST split-after edge (if not already last), then keep from the
+    # LAST split-before edge within the cut path, shifting start by the
+    # kmers dropped on the left.
+    if paths.edges.size:
+        mask_after = np.zeros(E, dtype=bool)
+        mask_after[np.fromiter((a for a, _ in accepted), dtype=np.int64)] = True
+        mask_before = np.zeros(E, dtype=bool)
+        mask_before[np.fromiter((b for _, b in accepted), dtype=np.int64)] = True
+        off = paths.offsets
+        pe = paths.edges
+        plen = np.diff(off)
+        n = paths.n_reads
+        read_of = np.repeat(np.arange(n, dtype=np.int64), plen)
+        pos = np.arange(pe.size, dtype=np.int64) - off[read_of]
+        cand = mask_after[pe] & (pos + 1 < plen[read_of])
+        first_after = np.full(n, np.int64(1) << 62, dtype=np.int64)
+        np.minimum.at(first_after, read_of[cand], pos[cand])
+        new_end = np.minimum(plen, first_after + 1)
+        candb = mask_before[pe] & (pos < new_end[read_of])
+        last_before = np.zeros(n, dtype=np.int64)
+        np.maximum.at(last_before, read_of[candb], pos[candb])
+        # start shift: within-read exclusive kmer prefix at last_before
+        km = kmers[pe].astype(np.int64)
+        cum = np.cumsum(km)
+        excl = np.concatenate([np.zeros(1, dtype=np.int64), cum[:-1]])
+        hi = max(pe.size - 1, 0)
+        shift = (
+            excl[np.minimum(off[:-1] + last_before, hi)]
+            - excl[np.minimum(off[:-1], hi)]
+        )
+        starts = paths.start.astype(np.int64) - shift
+        new_len = np.where(plen > 0, new_end - last_before, 0)
+        noff = np.zeros(n + 1, dtype=np.int64)
+        noff[1:] = np.cumsum(new_len)
+        tot = int(noff[-1])
+        src = np.repeat(off[:-1] + last_before, new_len) + (
+            np.arange(tot, dtype=np.int64) - np.repeat(noff[:-1], new_len)
+        )
+        paths = ReadPathVec(noff, pe[src].astype(np.int32),
+                            starts.astype(np.int32))
 
     if gap_cleanup:
         hbv, paths = ops.remove_small_components(
