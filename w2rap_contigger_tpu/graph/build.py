@@ -42,6 +42,105 @@ FULL = np.uint32(0xFFFFFFFF)
 # ---------------------------------------------------------------------------
 
 
+def _rows_bytes(words):
+    """(M, W) uint32 rows -> (M,) big-endian byte keys whose bytewise
+    order equals word-wise unsigned lexicographic order."""
+    W = words.shape[1]
+    return np.ascontiguousarray(words.astype(">u4")).view(f"S{4 * W}").ravel()
+
+
+def _search_host(table_bytes, query_words):
+    """Host binary search of query rows in the sorted table.  Returns
+    (idx int32 clipped, found bool) like ops.lookup._search."""
+    qb = _rows_bytes(query_words)
+    M = len(table_bytes)
+    if M == 0:
+        return (np.zeros(len(qb), np.int32),
+                np.zeros(len(qb), bool))
+    pos = np.searchsorted(table_bytes, qb)
+    posc = np.minimum(pos, M - 1).astype(np.int64)
+    found = (pos < M) & (table_bytes[posc] == qb)
+    return posc.astype(np.int32), found
+
+
+def recompute_adjacencies_host(d):
+    """Pure-numpy adjacency pruning for SMALL dictionaries (step-5
+    blob-local graphs): on a tunneled TPU backend every jnp op is a
+    dispatch round trip and the padded device form costs DICT_QUANTUM
+    rows of work for a few-thousand-row local dict."""
+    words = d.words
+    ctx = d.ctx.astype(np.uint32)
+    k = d.k
+    tb = _rows_bytes(words)
+    new_ctx = np.zeros_like(ctx)
+    for code in range(4):
+        succ_c, _ = bk.canonicalize(
+            bk.to_successor(words, np.uint32(code), k), k
+        )
+        _, found = _search_host(tb, succ_c)
+        keep = (((ctx >> code) & 1).astype(bool)) & found
+        new_ctx |= keep.astype(np.uint32) << code
+        pred_c, _ = bk.canonicalize(
+            bk.to_predecessor(words, np.uint32(code), k), k
+        )
+        _, foundp = _search_host(tb, pred_c)
+        keepp = (((ctx >> (code + 4)) & 1).astype(bool)) & foundp
+        new_ctx |= keepp.astype(np.uint32) << (code + 4)
+    d.ctx = new_ctx
+    return d
+
+
+def _build_links_host(words, ctx, k: int):
+    """Numpy mirror of _links_core over the full (unpadded) node space."""
+    M = words.shape[0]
+    tb = _rows_bytes(words)
+    pal = bk.is_palindrome(words, k)
+    node_ids = np.arange(2 * M, dtype=np.int64)
+    kid_o = node_ids % M
+    src_rev = node_ids >= M
+    w_k = words[kid_o]
+    w_o = np.where(src_rev[:, None], bk.rc_words(w_k, k), w_k)
+    ctx_o = np.where(src_rev, kctx.rc_context(ctx[kid_o]), ctx[kid_o])
+    pal_o = pal[kid_o]
+    succ_bits = kctx.succ_bits(ctx_o)
+    scount = kctx.popcount4(succ_bits)
+    scode = kctx.single_base(succ_bits)
+    succ_words = bk.to_successor(w_o, scode.astype(np.uint32), k)
+    succ_canon, succ_isrev = bk.canonicalize(succ_words, k)
+    vidx, found = _search_host(tb, succ_canon)
+    vidx = vidx.astype(np.int64)
+    v = vidx + succ_isrev.astype(np.int64) * M
+    vctx_can = ctx[vidx]
+    vctx = np.where(succ_isrev, kctx.rc_context(vctx_can), vctx_can)
+    vpred = kctx.popcount4(kctx.pred_bits(vctx))
+    vpal = pal[vidx]
+    hairpin = (vidx == kid_o) & (succ_isrev != src_rev)
+    ok = (
+        (scount == 1) & found & (~pal_o) & (~vpal) & (vpred == 1)
+        & (~hairpin)
+    )
+    return np.where(ok, v, -1).astype(np.int32)
+
+
+def _list_rank_host(nxt, n_iters: int):
+    """Numpy pointer-doubling list ranking (mirror of _list_rank_dev)."""
+    N2 = len(nxt)
+    M = N2 // 2
+    n = np.arange(N2, dtype=np.int64)
+    rc_n = np.where(n < M, n + M, n - M)
+    nxt_rc = nxt[rc_n].astype(np.int64)
+    prev = np.where(
+        nxt_rc >= 0, np.where(nxt_rc < M, nxt_rc + M, nxt_rc - M), -1
+    )
+    ptr = np.where(prev >= 0, prev, n)
+    dist = (prev >= 0).astype(np.int64)
+    for _ in range(n_iters):
+        dist = dist + dist[ptr]
+        ptr = ptr[ptr]
+    on_cycle = prev[ptr] >= 0
+    return ptr.astype(np.int32), dist.astype(np.int32), on_cycle
+
+
 def _adjacencies_core(table_words, words, ctx, k: int, n_iters: int):
     """Prune context bits whose neighbor kmer is absent from the dict.
 
@@ -70,12 +169,15 @@ def _recompute_adjacencies_dev(words, ctx, k: int, n_iters: int):
     return _adjacencies_core(words, words, ctx, k, n_iters)
 
 
-def recompute_adjacencies(d, mesh=None):
+def recompute_adjacencies(d, mesh=None, host=False):
     """d: ops.kmer_engine.KmerDict; updates d.ctx in place (host mirror
     or device view).  mesh: optional jax.sharding.Mesh — rows shard
-    across chips with the table replicated; bit-identical."""
+    across chips with the table replicated; bit-identical.  host=True
+    runs the pure-numpy form (small blob-local dicts)."""
     if d.size == 0:
         return d
+    if host:
+        return recompute_adjacencies_host(d)
     from ..ops.kmer_engine import padded_dict_views
 
     wp, cp, _, mp = padded_dict_views(d)
@@ -201,7 +303,7 @@ def _oriented_kmer_words(words, rcw, node_ids, M):
     return np.where(ori[:, None], rcw[kid], words[kid])
 
 
-def build_unitigs(d, mesh=None):
+def build_unitigs(d, mesh=None, host=False):
     """Build canonical unitig edge set from the dictionary.
 
     Returns (edge_bases flat uint8, edge_start (E+1) int64) and fills
@@ -223,42 +325,53 @@ def build_unitigs(d, mesh=None):
         d.edge_rc = np.zeros(0, bool)
         return np.zeros(0, np.uint8), np.zeros(1, np.int64)
 
-    # device work runs on the quantum-padded dict (stable jit shapes);
-    # padded sentinel rows have empty contexts so they form isolated
-    # chains that the host filters out below.
-    from ..ops.kmer_engine import padded_dict_views
-
-    wp, cp, _, Mp = padded_dict_views(d)
-    n_iters = max(1, int(np.ceil(np.log2(Mp + 1))))
-    if mesh is not None:
-        from ..parallel import mesh as pmesh
-
-        nxt_d = pmesh.build_links_sharded(
-            mesh, jnp.asarray(wp), jnp.asarray(cp), k, n_iters
-        )
+    if host:
+        # pure-numpy form for small blob-local dicts: no padding, no
+        # device dispatches (each jnp op is a round trip on tunneled
+        # backends)
+        nxt = _build_links_host(d.words, d.ctx.astype(np.uint32), k)
+        rank_iters = max(1, int(np.ceil(np.log2(2 * M + 1))) + 1)
+        head, rank, on_cycle = _list_rank_host(nxt, rank_iters)
     else:
-        nxt_d = _build_links_dev(jnp.asarray(wp), jnp.asarray(cp), k, n_iters)
-    rank_iters = max(1, int(np.ceil(np.log2(2 * Mp + 1))) + 1)
-    head_d, rank_d, cyc_d = _list_rank_dev(nxt_d, rank_iters)
+        # device work runs on the quantum-padded dict (stable jit
+        # shapes); padded sentinel rows have empty contexts so they form
+        # isolated chains that the host filters out below.
+        from ..ops.kmer_engine import padded_dict_views
 
-    nxt = np.asarray(nxt_d)
-    head = np.asarray(head_d)
-    rank = np.asarray(rank_d)
-    on_cycle = np.asarray(cyc_d)
+        wp, cp, _, Mp = padded_dict_views(d)
+        n_iters = max(1, int(np.ceil(np.log2(Mp + 1))))
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
 
-    # compact the padded node space (2*Mp) back to 2*M: padded sentinel
-    # nodes are isolated singletons and never targets of real links.
-    if Mp != M:
-        valid_node = (np.arange(2 * Mp) % Mp) < M
+            nxt_d = pmesh.build_links_sharded(
+                mesh, jnp.asarray(wp), jnp.asarray(cp), k, n_iters
+            )
+        else:
+            nxt_d = _build_links_dev(
+                jnp.asarray(wp), jnp.asarray(cp), k, n_iters
+            )
+        rank_iters = max(1, int(np.ceil(np.log2(2 * Mp + 1))) + 1)
+        head_d, rank_d, cyc_d = _list_rank_dev(nxt_d, rank_iters)
 
-        def _remap(n):
-            n = np.asarray(n, dtype=np.int64)
-            return np.where(n < 0, -1, (n % Mp) + (n // Mp) * M)
+        nxt = np.asarray(nxt_d)
+        head = np.asarray(head_d)
+        rank = np.asarray(rank_d)
+        on_cycle = np.asarray(cyc_d)
 
-        nxt = _remap(nxt[valid_node]).astype(np.int32)
-        head = _remap(head[valid_node]).astype(np.int32)
-        rank = rank[valid_node]
-        on_cycle = on_cycle[valid_node]
+        # compact the padded node space (2*Mp) back to 2*M: padded
+        # sentinel nodes are isolated singletons and never targets of
+        # real links.
+        if Mp != M:
+            valid_node = (np.arange(2 * Mp) % Mp) < M
+
+            def _remap(n):
+                n = np.asarray(n, dtype=np.int64)
+                return np.where(n < 0, -1, (n % Mp) + (n // Mp) * M)
+
+            nxt = _remap(nxt[valid_node]).astype(np.int32)
+            head = _remap(head[valid_node]).astype(np.int32)
+            rank = rank[valid_node]
+            on_cycle = on_cycle[valid_node]
 
     words = d.words
     rcw = bk.rc_words(words, k)

@@ -372,7 +372,7 @@ def populate_specials(bases, lengths, corrected, creads_done, done,
         ).ravel()
 
     void = as_void(keys)
-    sv = np.sort(void)
+    sv = void[friends_mod.rows_order(keys)]
     bound = np.concatenate([[True], sv[1:] != sv[:-1]])
     starts = np.flatnonzero(bound)
     counts = np.diff(np.concatenate([starts, [len(sv)]]))

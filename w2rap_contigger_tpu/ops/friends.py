@@ -56,6 +56,18 @@ def _kmer_keys(bases, lengths, K):
     return keys, rid.astype(np.int64), p.astype(np.int64), take_rc
 
 
+def rows_order(keys):
+    """Stable argsort of (M, K) uint8 rows in lexicographic order, via
+    uint64-packed np.lexsort.  np.sort/argsort on void dtypes runs one
+    memcmp per comparison (~50x slower at typical blob sizes)."""
+    M, K = keys.shape
+    C = -(-K // 8)
+    pad = np.zeros((M, C * 8), dtype=np.uint8)
+    pad[:, :K] = keys
+    cols = pad.view(">u8").astype(np.uint64)
+    return np.lexsort(tuple(cols[:, c] for c in range(C - 1, -1, -1)))
+
+
 def find_friends(bases, lengths, K, max_freq=1000):
     """All validated friend alignments for a dense read matrix.
 
@@ -67,7 +79,7 @@ def find_friends(bases, lengths, K, max_freq=1000):
     void = np.ascontiguousarray(keys).view(
         np.dtype((np.void, keys.shape[1]))
     ).ravel()
-    order = np.argsort(void, kind="stable")
+    order = rows_order(keys)
     void = void[order]
     rid, pos, rcf = rid[order], pos[order], rcf[order]
     # group boundaries
@@ -114,7 +126,13 @@ def find_friends(bases, lengths, K, max_freq=1000):
     off = np.concatenate(out_off)
     rc = np.concatenate(out_rc)
     rec = np.stack([id1, id2, off, rc.astype(np.int64)], axis=1)
-    rec = np.unique(rec, axis=0)
+    # row-unique via lexsort + consecutive-dedup: np.unique(axis=0)
+    # views rows as a void dtype and sorts with one memcmp per compare
+    order = np.lexsort((rec[:, 3], rec[:, 2], rec[:, 1], rec[:, 0]))
+    rec = rec[order]
+    keep = np.ones(len(rec), dtype=bool)
+    keep[1:] = (rec[1:] != rec[:-1]).any(axis=1)
+    rec = rec[keep]
     friends = {}
     cut = np.concatenate(
         [[0], np.flatnonzero(rec[1:, 0] != rec[:-1, 0]) + 1, [len(rec)]]

@@ -456,16 +456,19 @@ def _use_pallas_kmerize() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _native_count_lib():
+def _native_count_lib(force: bool = False):
     """C++ leaf counter (native/count_kernel.cc) — the CPU backend's
     fast path (XLA's CPU sort was the parity-mode wall).  Returns the
-    loaded library or None (env W2RAP_NATIVE_COUNT=0 disables)."""
+    loaded library or None (env W2RAP_NATIVE_COUNT=0 disables).
+    force=True skips the backend gate (blob-local counting wants the
+    host path even when the session backend is a TPU)."""
     if os.environ.get("W2RAP_NATIVE_COUNT", "1") in ("0", "false", "off"):
         return None
-    import jax
+    if not force:
+        import jax
 
-    if jax.default_backend() != "cpu":
-        return None
+        if jax.default_backend() != "cpu":
+            return None
     from .. import native
 
     return native.load("w2rapcount", ["count_kernel.cc"])
@@ -655,8 +658,14 @@ def count_kmers_flat(
     device_pipeline: bool | None = None,
     interpret: bool = False,
     mesh=None,
+    host: bool = False,
 ):
     """Count canonical kmers over concatenated sequences.
+
+    host=True forces the native C++ leaf even on a non-CPU backend
+    (blob-local counting: tiny inputs where device dispatch round
+    trips dominate); falls through to the normal path if the native
+    toolchain is unavailable.
 
     flat_bases: (T,) uint8 codes of all sequences back to back;
     seg_offsets: (S+1,) int64 boundaries.  Equivalent semantics to the
@@ -683,7 +692,7 @@ def count_kmers_flat(
         return KmerDict(empty, np.zeros(0, np.int32), np.zeros(0, np.uint32), k)
 
     if mesh is None and not interpret and device_pipeline is not True:
-        _nlib = _native_count_lib()
+        _nlib = _native_count_lib(force=host)
         if _nlib is not None:
             return _count_kmers_flat_native(
                 _nlib, flat_bases, seg_offsets, k, W, min_freq
@@ -979,12 +988,17 @@ def count_kmers_device(
     k: int,
     min_qual: int = 7,
     min_freq: int = 4,
-    chunk_reads: int = 262144,
+    chunk_reads: int = 65536,
     interpret: bool = False,
     range_bits: int = 0,
     range_index: int = 0,
 ):
     """Count canonical kmers entirely on device; returns (KmerDict, hist).
+
+    chunk_reads default 64k: small enough that the double-buffered host
+    pack + upload of chunk i+1 hides behind chunk i's kernels (measured
+    0.42s vs 0.92s warm e2e at the bench shape vs 256k chunks), large
+    enough that per-chunk dispatch round trips stay negligible.
 
     Pipeline: Pallas kmerize (per ≤chunk_reads block) → concatenate into
     one power-of-two padded stream → Pallas bitonic sort (pallas_sort)

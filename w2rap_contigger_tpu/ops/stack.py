@@ -503,11 +503,16 @@ class Stack:
             if len(idx) == 0:
                 continue
             rows = stripe[idx]
-            void = np.ascontiguousarray(rows).view(
-                np.dtype((np.void, rows.shape[1]))
-            ).ravel()
+            # rows are base codes 0..3 over WIDTH=10 columns: pack each
+            # into one uint64 key (np.unique on void dtypes is
+            # memcmp-per-compare); group membership is all that matters
+            # downstream, not group order
+            shifts = (np.arange(rows.shape[1], dtype=np.uint64) * 2)
+            vals = (rows.astype(np.uint64) << shifts).sum(
+                axis=1, dtype=np.uint64
+            )
             uniq, inv, cnt = np.unique(
-                void, return_inverse=True, return_counts=True
+                vals, return_inverse=True, return_counts=True
             )
             big = np.flatnonzero(cnt >= MIN_MULT)
             if len(big) == 0:
@@ -540,9 +545,13 @@ class Stack:
         """PairWeak1 (ReadStack.cc:866): columns decided by both-mates-
         present rows flag Q30 dissenters."""
         R, C = self.rows, self.cols
-        key = np.stack([self.pid, self.pair_pos], axis=1)
-        uniq = np.unique(key, axis=0)
-        pids, cnts = np.unique(uniq[:, 0], return_counts=True)
+        # pair_pos in {-1,0,1}: pack (pid, pair_pos) into one int64 key
+        # (np.unique(axis=0) views rows as void and memcmp-sorts)
+        packed = self.pid.astype(np.int64) * 4 + (
+            self.pair_pos.astype(np.int64) + 1
+        )
+        uniq_packed = np.unique(packed)
+        pids, cnts = np.unique(uniq_packed >> 2, return_counts=True)
         both = set(pids[cnts >= 2].tolist())
         paired = np.array([p in both for p in self.pid])
         suspect = np.zeros(R, dtype=bool)

@@ -43,7 +43,7 @@ def _lookup_flat_chunk(
 
 def path_flat_sequences(
     flat_bases, seg_offsets, d, hbv, fwd_xlat, rev_xlat,
-    chunk_pos: int | None = None,
+    chunk_pos: int | None = None, host: bool = False,
 ):
     """Walk each segment through the graph.
 
@@ -52,40 +52,70 @@ def path_flat_sequences(
     first edge, stops = bases of the last edge after the segment's final
     kmer (Repath.cc starts/stops semantics, Repath.cc:196-200).
     Segments shorter than k or containing missing kmers get empty paths.
+
+    host=True runs the per-position lookup in pure numpy (blob-local
+    graphs: tiny inputs where device dispatch round trips dominate on a
+    tunneled backend).
     """
     k = d.k
     if chunk_pos is None:
         chunk_pos = (1 << 21) if k <= 64 else (1 << 19)
     T = len(flat_bases)
     S = len(seg_offsets) - 1
-    wp, cp, kdef, mp = ke.padded_dict_views(d)
-    n_iters = max(1, int(np.ceil(np.log2(mp + 1))))
-    halo = 16 * ((k + 15) // 16)
-
-    table_t = jnp.asarray(wp).T
-    kdef_edge = jnp.asarray(kdef[0])
-    kdef_off = jnp.asarray(kdef[1])
-    kdef_rc = jnp.asarray(kdef[2])
-    fx = jnp.asarray(fwd_xlat)
-    rx = jnp.asarray(rev_xlat)
-    ekm_canon = jnp.asarray(
-        (np.diff(hbv.edge_start) - k + 1)[fwd_xlat].astype(np.int32)
-    )
-
     n_pos = max(T - k + 1, 0)
     all_e = np.full(n_pos, -1, dtype=np.int32)
     all_o = np.zeros(n_pos, dtype=np.int32)
-    for s in range(0, n_pos, chunk_pos):
-        C = min(chunk_pos, n_pos - s)
-        cb = np.zeros(chunk_pos + halo, dtype=np.uint8)
-        avail = min(T - s, chunk_pos + halo)
-        cb[:avail] = flat_bases[s : s + avail]
-        he, off = _lookup_flat_chunk(
-            jnp.asarray(cb), table_t, kdef_edge, kdef_off, kdef_rc, fx, rx,
-            ekm_canon, k, n_iters,
+    if host:
+        from ..graph.build import _rows_bytes, _search_host
+
+        tb = _rows_bytes(d.words)
+        kd_e = np.asarray(d.edge_id)
+        kd_o = np.asarray(d.edge_offset)
+        kd_r = np.asarray(d.edge_rc)
+        fxh = np.asarray(fwd_xlat)
+        rxh = np.asarray(rev_xlat)
+        ekm_h = (np.diff(hbv.edge_start) - k + 1)[fwd_xlat].astype(np.int32)
+        if n_pos > 0:
+            win = np.lib.stride_tricks.sliding_window_view(
+                np.asarray(flat_bases), k
+            )[:n_pos]
+            words = bk.pack_codes(np.ascontiguousarray(win), k)
+            canon, is_rev = bk.canonicalize(words, k)
+            idx, found = _search_host(tb, canon)
+            e0 = kd_e[idx]
+            rc = is_rev ^ kd_r[idx]
+            he = np.where(rc, rxh[e0], fxh[e0]).astype(np.int32)
+            ekm_e = ekm_h[e0].astype(np.int32)
+            all_o[:] = np.where(
+                rc, ekm_e - 1 - kd_o[idx], kd_o[idx]
+            ).astype(np.int32)
+            all_e[:] = np.where(found, he, -1).astype(np.int32)
+    else:
+        wp, cp, kdef, mp = ke.padded_dict_views(d)
+        n_iters = max(1, int(np.ceil(np.log2(mp + 1))))
+        halo = 16 * ((k + 15) // 16)
+
+        table_t = jnp.asarray(wp).T
+        kdef_edge = jnp.asarray(kdef[0])
+        kdef_off = jnp.asarray(kdef[1])
+        kdef_rc = jnp.asarray(kdef[2])
+        fx = jnp.asarray(fwd_xlat)
+        rx = jnp.asarray(rev_xlat)
+        ekm_canon = jnp.asarray(
+            (np.diff(hbv.edge_start) - k + 1)[fwd_xlat].astype(np.int32)
         )
-        all_e[s : s + C] = np.asarray(he[:C])
-        all_o[s : s + C] = np.asarray(off[:C])
+
+        for s in range(0, n_pos, chunk_pos):
+            C = min(chunk_pos, n_pos - s)
+            cb = np.zeros(chunk_pos + halo, dtype=np.uint8)
+            avail = min(T - s, chunk_pos + halo)
+            cb[:avail] = flat_bases[s : s + avail]
+            he, off = _lookup_flat_chunk(
+                jnp.asarray(cb), table_t, kdef_edge, kdef_off, kdef_rc,
+                fx, rx, ekm_canon, k, n_iters,
+            )
+            all_e[s : s + C] = np.asarray(he[:C])
+            all_o[s : s + C] = np.asarray(off[:C])
 
     # ---- segment decode, vectorized over all segments at once ---------
     kmers_b = np.diff(hbv.edge_start) - k + 1

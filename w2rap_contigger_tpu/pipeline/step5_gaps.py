@@ -134,13 +134,14 @@ def unsat(hbv, paths):
     to_right = np.asarray(hbv.to_right)
     cand_idx = np.flatnonzero(cand)
     if cand_idx.size:
-        pairs_vw = np.stack(
-            [v_arr[cand_idx].astype(np.int64), w_arr[cand_idx].astype(np.int64)],
-            axis=1,
-        )
-        uniq_vw, inv_map = np.unique(pairs_vw, axis=0, return_inverse=True)
+        # pack (v, w) into one int64 key — np.unique(axis=0) memcmp-sorts
+        nv = np.int64(max(int(hbv.n_vertices), 1))
+        packed = v_arr[cand_idx].astype(np.int64) * nv + w_arr[
+            cand_idx
+        ].astype(np.int64)
+        uniq_p, inv_map = np.unique(packed, return_inverse=True)
         sat_u = _satisfiable_batch(
-            uniq_vw[:, 0], uniq_vw[:, 1], fo, fe, to_right
+            uniq_p // nv, uniq_p % nv, fo, fe, to_right
         )
         unsat_pairs = [int(p) for p in cand_idx[~sat_u[inv_map]]]
     else:
@@ -558,11 +559,15 @@ def _local_graph(seqs, k2, min_freq=2):
     seg = np.zeros(len(seqs) + 1, dtype=np.int64)
     seg[1:] = np.cumsum([len(s) for s in seqs])
     flat = np.concatenate(seqs)
-    d = ke.count_kmers_flat(flat, seg, k2, min_freq=min_freq)
+    # blob-local graphs are tiny: everything stays on host (numpy +
+    # native leaf) — the padded device form costs DICT_QUANTUM rows of
+    # work per call and a dispatch round trip per op on tunneled
+    # backends, both of which dwarf the actual problem
+    d = ke.count_kmers_flat(flat, seg, k2, min_freq=min_freq, host=True)
     if d.size == 0:
         return None
-    gb.recompute_adjacencies(d)
-    eb, es = gb.build_unitigs(d)
+    gb.recompute_adjacencies(d, host=True)
+    eb, es = gb.build_unitigs(d, host=True)
     hbv, fx, rx = gb.build_hbv_from_edges(eb, es, k2)
     return d, hbv, fx, rx
 
@@ -580,37 +585,35 @@ def _low_coverage_set(built, seqs, k2):
     seg = np.zeros(len(seqs) + 1, dtype=np.int64)
     seg[1:] = np.cumsum([len(s) for s in seqs])
     flat = np.concatenate(seqs)
-    traced, _, _ = flat_pather.path_flat_sequences(flat, seg, d2, lhb, fx, rx)
+    traced, _, _ = flat_pather.path_flat_sequences(
+        flat, seg, d2, lhb, fx, rx, host=True
+    )
     inv = shb.involution_from_xlats(lhb.n_edges, fx, rx)
     cov = shb.edge_coverage(lhb.n_edges, inv, traced)
     return shb.low_coverage_edges(lhb, inv, cov)
 
 
 def _edges_with_shared_kmers(d, hbv_local, fx, rx, root_seqs, k2):
-    """Local edges sharing a k2-mer with any root sequence (MakeStartStop)."""
-    import jax.numpy as jnp
-
+    """Local edges sharing a k2-mer with any root sequence
+    (MakeStartStop).  Pure numpy, batched over every root sequence at
+    once — the earlier per-sequence device loop paid a fresh jit trace
+    per sequence length and a dispatch round trip per op."""
+    from ..graph.build import _rows_bytes, _search_host
     from ..ops import bitkmer as bk
-    from ..ops import kmer_engine as ke
-    from ..ops import lookup
 
-    hits = set()
-    wp, cp, kdef, mp = ke.padded_dict_views(d)
-    n_iters = max(1, int(np.ceil(np.log2(mp + 1))))
-    for seq in root_seqs:
-        if len(seq) < k2:
-            continue
-        packed = ke.pack_rows(jnp.asarray(seq[None, :]))
-        words = ke.kmer_windows(packed, k2, len(seq) - k2 + 1)[0]
-        canon, _ = bk.canonicalize(words, k2)
-        idx, found = lookup._search(jnp.asarray(wp).T, canon.T, n_iters)
-        idx = np.asarray(idx)
-        found = np.asarray(found)
-        for i in idx[found]:
-            e0 = int(kdef[0][i])
-            hits.add(int(fx[e0]))
-            hits.add(int(rx[e0]))
-    return hits
+    seqs = [s for s in root_seqs if len(s) >= k2]
+    if not seqs or d.size == 0:
+        return set()
+    wins = [
+        np.lib.stride_tricks.sliding_window_view(np.asarray(s), k2)
+        for s in seqs
+    ]
+    allw = np.ascontiguousarray(np.concatenate(wins, axis=0))
+    words = bk.pack_codes(allw, k2)
+    canon, _ = bk.canonicalize(words, k2)
+    idx, found = _search_host(_rows_bytes(d.words), canon)
+    e0 = np.unique(np.asarray(d.edge_id)[idx[found]])
+    return set(np.asarray(fx)[e0].tolist()) | set(np.asarray(rx)[e0].tolist())
 
 
 def assemble_gaps2(hbv, paths, reads, pair_sample=PAIR_SAMPLE,
