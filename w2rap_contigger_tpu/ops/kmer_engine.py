@@ -1160,17 +1160,44 @@ def _device_count_epilogue(
         )
         return _collapse_and_download(sorted_planes, W, k, min_freq,
                                       interpret)
-    # lax path: the whole concat+pad+sort(+ctx-in-pad-bits strip)+
-    # collapse chain is one fused executable — a tunneled backend pays
-    # one dispatch round trip instead of ~25 (ctx rides in the last
+    # lax path.  For small W the whole concat+pad+sort(+ctx-in-pad-bits
+    # strip)+collapse chain is one fused executable — a tunneled backend
+    # pays one dispatch round trip instead of ~25 (ctx rides in the last
     # word's pad bits when >=8 of them are free, sorting one operand
-    # fewer; equal kmers stay adjacent because the 2k kmer bits are
-    # most significant)
-    collapsed = _sort_collapse_lax(
-        tuple(tuple(p) for p in word_parts), tuple(payload_parts),
-        W, n_pad, pad_bits, min_freq, interpret,
-    )
-    return _dict_from_collapsed(collapsed, W, k, min_freq)
+    # fewer; equal kmers stay adjacent because the 2k kmer bits are most
+    # significant).  Fusing an 18-operand W=17 sort into one program
+    # took the remote compiler >25 min, so big-K counting keeps the
+    # unfused per-op dispatch form (few large calls — dispatch overhead
+    # is negligible there anyway).
+    if W <= 8:
+        collapsed = _sort_collapse_lax(
+            tuple(tuple(p) for p in word_parts), tuple(payload_parts),
+            W, n_pad, pad_bits, min_freq, interpret,
+        )
+        return _dict_from_collapsed(collapsed, W, k, min_freq)
+
+    if pad_bits >= 8:
+        planes = [_cat(word_parts[j], FULL) for j in range(W - 1)]
+        last = _cat(word_parts[W - 1], FULL)
+        pay = _cat(payload_parts, np.uint32(0))
+        planes.append(last | ((pay >> np.uint32(8)) & np.uint32(0xFF)))
+        sp = list(jax.lax.sort(planes, num_keys=W))
+        ctx_sorted = sp[W - 1] & np.uint32(0xFF)
+        w_last = sp[W - 1] & ~np.uint32(0xFF)
+        sent = sp[0] == FULL
+        for j in range(1, W - 1):
+            sent = sent & (sp[j] == FULL)
+        sent = sent & (w_last == (FULL & ~np.uint32(0xFF)))
+        w_last = jnp.where(sent, FULL, w_last)
+        payload_sorted = jnp.where(
+            sent, np.uint32(0), (ctx_sorted << np.uint32(8)) | np.uint32(1)
+        )
+        sorted_planes = sp[: W - 1] + [w_last, payload_sorted]
+    else:
+        planes = [_cat(word_parts[j], FULL) for j in range(W)]
+        planes.append(_cat(payload_parts, np.uint32(0)))
+        sorted_planes = list(jax.lax.sort(planes, num_keys=W))
+    return _collapse_and_download(sorted_planes, W, k, min_freq, interpret)
 
 
 def _radix_sorted_planes(_cat, W, pad_bits, word_parts, payload_parts,

@@ -88,29 +88,31 @@ class Stack:
             for id2, off, _rc in friends:
                 k = max(k, off + int(lengths[id2]))
         st = Stack(n, k)
-        for j in range(n):
-            if j == 0:
-                id2, off, rc = id1, 0, False
-            else:
-                id2, off, rc = friends[j - 1]
-            l2 = int(lengths[id2])
-            b2 = bases[id2, :l2]
-            q2 = quals[id2, :l2]
-            if rc:
-                b2 = (3 - b2)[::-1]
-                q2 = q2[::-1]
-            lo = max(0, off)
-            hi = min(k, off + l2) if ctype == "strict" else off + l2
-            hi = min(hi, k)
-            if hi > lo:
-                st.bases[j, lo:hi] = b2[lo - off : hi - off]
-                st.quals[j, lo:hi] = q2[lo - off : hi - off]
-            st.offset[j] = off
-            st.len_[j] = l2
-            st.ids[j] = id2
-            st.rc2[j] = rc
-            st.pid[j] = id2 // 2
-            st.pair_pos[j] = id2 % 2
+        # vectorized over rows (was a per-row Python loop): stack col c
+        # of row j reads source position c - off (mirrored for rc rows)
+        ids = np.empty(n, dtype=np.int64)
+        offs = np.empty(n, dtype=np.int64)
+        rcs = np.empty(n, dtype=bool)
+        ids[0], offs[0], rcs[0] = id1, 0, False
+        for j, (id2, off, rc) in enumerate(friends):
+            ids[j + 1], offs[j + 1], rcs[j + 1] = id2, off, rc
+        l2 = np.asarray(lengths)[ids].astype(np.int64)
+        cols = np.arange(k, dtype=np.int64)[None, :]
+        src = cols - offs[:, None]
+        valid = (src >= 0) & (src < l2[:, None])
+        srcc = np.where(rcs[:, None], l2[:, None] - 1 - src, src)
+        srcc = np.clip(srcc, 0, bases.shape[1] - 1)
+        vals = bases[ids[:, None], srcc]
+        qvals = quals[ids[:, None], srcc]
+        vals = np.where(rcs[:, None], 3 - vals, vals)
+        st.bases[:] = np.where(valid, vals, UNDEF).astype(np.int8)
+        st.quals[:] = np.where(valid, qvals, UNDEF).astype(np.int16)
+        st.offset[:] = offs
+        st.len_[:] = l2
+        st.ids[:] = ids
+        st.rc2[:] = rcs
+        st.pid[:] = ids // 2
+        st.pair_pos[:] = ids % 2
         return st
 
     # -- row/column edits ---------------------------------------------------
