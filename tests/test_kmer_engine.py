@@ -427,3 +427,33 @@ def test_device_dict_step2_graph_equal(monkeypatch, rng):
     for x, y in zip(a[4], b[4]):
         np.testing.assert_array_equal(x, y)
     assert a[5] == b[5]
+
+
+def test_sort_big_w_matches_variadic(rng):
+    """The multi-pass stable 2-key sort must equal the full variadic
+    sort whenever no distinct rows tie on the leading 64 bits, and must
+    raise the tie flag when they do."""
+    import jax
+    import jax.numpy as jnp
+
+    W = 17
+    N = 4096
+    planes_np = [
+        rng.integers(0, 2**32, size=N, dtype=np.uint32) for _ in range(W)
+    ]
+    pay_np = rng.integers(0, 2**16, size=N, dtype=np.uint32)
+    planes = [jnp.asarray(p) for p in planes_np]
+    pay = jnp.asarray(pay_np)
+    sp, flag = ke._sort_big_w(planes, pay, W)
+    assert not bool(np.asarray(flag))
+    ref = jax.lax.sort(planes + [pay], num_keys=W)
+    for a, b in zip(sp, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # adversarial: two distinct rows sharing the leading 64 bits
+    planes_np[0][10] = planes_np[0][20]
+    planes_np[1][10] = planes_np[1][20]
+    planes_np[2][10] = planes_np[2][20] ^ np.uint32(1)
+    planes = [jnp.asarray(p) for p in planes_np]
+    _, flag = ke._sort_big_w(planes, pay, W)
+    assert bool(np.asarray(flag))

@@ -1176,28 +1176,50 @@ def _device_count_epilogue(
         )
         return _dict_from_collapsed(collapsed, W, k, min_freq)
 
-    if pad_bits >= 8:
-        planes = [_cat(word_parts[j], FULL) for j in range(W - 1)]
-        last = _cat(word_parts[W - 1], FULL)
-        pay = _cat(payload_parts, np.uint32(0))
-        planes.append(last | ((pay >> np.uint32(8)) & np.uint32(0xFF)))
-        sp = list(jax.lax.sort(planes, num_keys=W))
-        ctx_sorted = sp[W - 1] & np.uint32(0xFF)
-        w_last = sp[W - 1] & ~np.uint32(0xFF)
-        sent = sp[0] == FULL
-        for j in range(1, W - 1):
-            sent = sent & (sp[j] == FULL)
-        sent = sent & (w_last == (FULL & ~np.uint32(0xFF)))
-        w_last = jnp.where(sent, FULL, w_last)
-        payload_sorted = jnp.where(
-            sent, np.uint32(0), (ctx_sorted << np.uint32(8)) | np.uint32(1)
-        )
-        sorted_planes = sp[: W - 1] + [w_last, payload_sorted]
-    else:
-        planes = [_cat(word_parts[j], FULL) for j in range(W)]
-        planes.append(_cat(payload_parts, np.uint32(0)))
-        sorted_planes = list(jax.lax.sort(planes, num_keys=W))
+    planes = [_cat(word_parts[j], FULL) for j in range(W)]
+    pay = _cat(payload_parts, np.uint32(0))
+    sorted_planes, tie_flag = _sort_big_w(planes, pay, W)
+    if bool(np.asarray(tie_flag)):
+        # adjacent rows equal in the first 64 bits but distinct beyond:
+        # the 2-key passes cannot have fully sorted the stream — recount
+        # with the exact variadic sort (astronomically rare on real
+        # sequence; the monster compile is only ever paid here)
+        sorted_planes = list(jax.lax.sort(planes + [pay], num_keys=W))
     return _collapse_and_download(sorted_planes, W, k, min_freq, interpret)
+
+
+def _sort_big_w(planes, pay, W):
+    """Sort a big-W kmer stream without a W+1-operand variadic sort
+    (whose comparator makes the TPU compiler take tens of minutes at
+    W=17).  A STABLE sort's permutation is a pure function of its keys,
+    so ceil((W-1)/2) separate 2-key stable sorts — each carrying two
+    payload planes — all apply the SAME permutation; the result is
+    fully sorted iff no two DISTINCT rows tie on the leading 64 bits.
+    Returns (sorted planes [W words + payload], tie flag); a raised
+    flag means the caller must recount with the exact sort."""
+    k0, k1 = planes[0], planes[1]
+    rest = planes[2:] + [pay]
+    s0 = s1 = None
+    out_rest = []
+    for i in range(0, len(rest), 2):
+        ops = [k0, k1] + rest[i : i + 2]
+        sp = jax.lax.sort(ops, num_keys=2, is_stable=True)
+        if s0 is None:
+            s0, s1 = sp[0], sp[1]
+        out_rest.extend(sp[2:])
+    if s0 is None:  # W == 2: single sort, fully ordered by its keys
+        s0, s1 = jax.lax.sort([k0, k1], num_keys=2, is_stable=True)
+        out_rest = []
+    sorted_planes = [s0, s1] + out_rest
+    eq01 = (s0[1:] == s0[:-1]) & (s1[1:] == s1[:-1])
+    full_eq = eq01
+    for j in range(2, W):
+        p = sorted_planes[j]
+        full_eq = full_eq & (p[1:] == p[:-1])
+    # any >=2-row leading-64-bit tie group containing distinct rows has
+    # an adjacent distinct pair
+    tie_flag = jnp.any(eq01 & ~full_eq)
+    return sorted_planes, tie_flag
 
 
 def _radix_sorted_planes(_cat, W, pad_bits, word_parts, payload_parts,
