@@ -338,3 +338,36 @@ def test_hbv_structure(rng):
                     hbv.edge_seq(int(ei))[-(k - 1) :],
                     hbv.edge_seq(int(eo))[: k - 1],
                 )
+
+
+def test_native_graph_kernel_matches_xla(rng, monkeypatch):
+    """The C++ adjacency/link kernel must reproduce the device path's
+    pruned contexts and unitig edge set bit-exactly."""
+    from w2rap_contigger_tpu.core import dna
+    from w2rap_contigger_tpu.core.reads import ReadSet
+    from w2rap_contigger_tpu.ops import kmer_engine as ke
+
+    k = 60
+    genome = rng.integers(0, 4, size=6000).astype(np.uint8)
+    seqs = []
+    for s in range(0, len(genome) - 150, 9):
+        r = genome[s : s + 150]
+        seqs.append(dna.revcomp_codes(r) if rng.random() < 0.5 else r)
+    reads = ReadSet.from_sequences(seqs)
+
+    results = []
+    for env in ("0", "1"):
+        monkeypatch.setenv("W2RAP_NATIVE_GRAPH", env)
+        d, _ = ke.count_kmers(
+            reads.bases, reads.lengths, reads.quals, k, min_freq=1,
+            pad_quantum=1024,
+        )
+        gb.recompute_adjacencies(d)
+        ctx = d.ctx.astype(np.uint32).copy()
+        eb, es = gb.build_unitigs(d)
+        results.append((ctx, eb, es, d.edge_id.copy(),
+                        d.edge_offset.copy(), d.edge_rc.copy()))
+    a, b = results
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    assert gb._native_graph_lib(force=True) is not None

@@ -42,6 +42,71 @@ FULL = np.uint32(0xFFFFFFFF)
 # ---------------------------------------------------------------------------
 
 
+def _native_graph_lib(force: bool = False):
+    """C++ adjacency/link kernel (native/graph_kernel.cc) — the CPU
+    backend's fast path for graph construction's dictionary-lookup
+    storms.  Returns the loaded library or None
+    (env W2RAP_NATIVE_GRAPH=0 disables).  force=True skips the backend
+    gate (blob-local graphs want the host path on any backend)."""
+    import os
+
+    if os.environ.get("W2RAP_NATIVE_GRAPH", "1") in ("0", "false", "off"):
+        return None
+    if not force:
+        import jax
+
+        if jax.default_backend() != "cpu":
+            return None
+    from .. import native
+
+    return native.load("w2rapgraph", ["graph_kernel.cc"],
+                       libs=["pthread"])
+
+
+def _graph_threads():
+    import os
+
+    return int(os.environ.get("OMP_NUM_THREADS", "0")) or (
+        os.cpu_count() or 1
+    )
+
+
+def _prune_ctx_native(lib, d):
+    import ctypes
+
+    words = np.ascontiguousarray(d.words, dtype=np.uint32)
+    ctx = np.ascontiguousarray(d.ctx, dtype=np.uint32)
+    out = np.empty(d.size, dtype=np.uint32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.w2rap_prune_ctx(
+        words.ctypes.data_as(u32p), ctx.ctypes.data_as(u32p),
+        ctypes.c_int64(d.size), ctypes.c_int32(d.k),
+        ctypes.c_int32(words.shape[1]),
+        ctypes.c_int32(_graph_threads()),
+        out.ctypes.data_as(u32p),
+    )
+    d.ctx = out
+    return d
+
+
+def _build_links_native(lib, words, ctx, k):
+    import ctypes
+
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    ctx = np.ascontiguousarray(ctx, dtype=np.uint32)
+    m = words.shape[0]
+    out = np.empty(2 * m, dtype=np.int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.w2rap_build_links(
+        words.ctypes.data_as(u32p), ctx.ctypes.data_as(u32p),
+        ctypes.c_int64(m), ctypes.c_int32(k),
+        ctypes.c_int32(words.shape[1]),
+        ctypes.c_int32(_graph_threads()),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out
+
+
 def _rows_bytes(words):
     """(M, W) uint32 rows -> (M,) big-endian byte keys whose bytewise
     order equals word-wise unsigned lexicographic order."""
@@ -126,14 +191,15 @@ def _list_rank_host(nxt, n_iters: int):
     """Numpy pointer-doubling list ranking (mirror of _list_rank_dev)."""
     N2 = len(nxt)
     M = N2 // 2
-    n = np.arange(N2, dtype=np.int64)
+    n = np.arange(N2, dtype=np.int32)
     rc_n = np.where(n < M, n + M, n - M)
-    nxt_rc = nxt[rc_n].astype(np.int64)
+    nxt_rc = nxt[rc_n].astype(np.int32)
     prev = np.where(
-        nxt_rc >= 0, np.where(nxt_rc < M, nxt_rc + M, nxt_rc - M), -1
+        nxt_rc >= 0, np.where(nxt_rc < M, nxt_rc + M, nxt_rc - M),
+        np.int32(-1),
     )
-    ptr = np.where(prev >= 0, prev, n)
-    dist = (prev >= 0).astype(np.int64)
+    ptr = np.where(prev >= 0, prev, n).astype(np.int32)
+    dist = (prev >= 0).astype(np.int32)
     for _ in range(n_iters):
         dist = dist + dist[ptr]
         ptr = ptr[ptr]
@@ -176,6 +242,13 @@ def recompute_adjacencies(d, mesh=None, host=False):
     runs the pure-numpy form (small blob-local dicts)."""
     if d.size == 0:
         return d
+    if mesh is None and d.dev is None:
+        # host dict on this backend: the native C++ kernel beats both
+        # the padded XLA form (quantum-padded rows + search over the
+        # padded table) and the numpy form (memcmp searchsorted)
+        lib = _native_graph_lib(force=host)
+        if lib is not None:
+            return _prune_ctx_native(lib, d)
     if host:
         return recompute_adjacencies_host(d)
     from ..ops.kmer_engine import padded_dict_views
@@ -325,11 +398,18 @@ def build_unitigs(d, mesh=None, host=False):
         d.edge_rc = np.zeros(0, bool)
         return np.zeros(0, np.uint8), np.zeros(1, np.int64)
 
-    if host:
-        # pure-numpy form for small blob-local dicts: no padding, no
-        # device dispatches (each jnp op is a round trip on tunneled
-        # backends)
-        nxt = _build_links_host(d.words, d.ctx.astype(np.uint32), k)
+    lib = None
+    if mesh is None and d.dev is None:
+        lib = _native_graph_lib(force=host)
+    if lib is not None or host:
+        # host forms: no padding, no device dispatches (each jnp op is
+        # a round trip on tunneled backends); native C++ when the
+        # toolchain is available, numpy otherwise
+        if lib is not None:
+            nxt = _build_links_native(lib, d.words,
+                                      d.ctx.astype(np.uint32), k)
+        else:
+            nxt = _build_links_host(d.words, d.ctx.astype(np.uint32), k)
         rank_iters = max(1, int(np.ceil(np.log2(2 * M + 1))) + 1)
         head, rank, on_cycle = _list_rank_host(nxt, rank_iters)
     else:
@@ -601,11 +681,20 @@ def build_hbv_from_edges(edge_bases, edge_start, k: int):
     allw = np.ascontiguousarray(
         np.concatenate([prox_w, dist_w, rc_prox_w, rc_dist_w], axis=0)
     )
-    uniq, vid = np.unique(
-        allw.view([("", np.uint32)] * W).reshape(-1), return_inverse=True
-    )
-    n_vertices = len(uniq)
-    vid = vid.astype(np.int32)
+    # vertex ids = rank in the words-lexicographic unique order — the
+    # same numbering np.unique on a structured view produced, but via
+    # lexsort (the structured unique memcmp-compares per element and
+    # was superlinear at north-star scale)
+    n_all = allw.shape[0]
+    sorder = np.lexsort(tuple(allw[:, c] for c in range(W - 1, -1, -1)))
+    sa = allw[sorder]
+    new_grp = np.empty(n_all, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (sa[1:] != sa[:-1]).any(axis=1)
+    grp_sorted = np.cumsum(new_grp) - 1
+    vid = np.empty(n_all, dtype=np.int32)
+    vid[sorder] = grp_sorted.astype(np.int32)
+    n_vertices = int(grp_sorted[-1]) + 1
     fw_v1, fw_v2 = vid[:E], vid[E : 2 * E]
     rc_v1, rc_v2 = vid[2 * E : 3 * E], vid[3 * E :]
 

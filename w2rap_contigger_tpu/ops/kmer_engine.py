@@ -1449,12 +1449,18 @@ def count_kmers_batched(
 
     use_device = (not interpret) and jax.default_backend() == "tpu"
 
-    if range_bits and not use_device and not interpret:
+    if not use_device and not interpret:
         _nlib = _native_count_lib()
         if _nlib is not None:
+            # one kmerize pass spilling per-range batch files + per-range
+            # C++ collapse — even when no memory ceiling forces batching:
+            # the chunked-leaf alternative spends more time in the host
+            # merge tree (memcmp searchsorted over void rows) than the
+            # spill pays in disk IO (measured 170s of leaf+merge vs ~10s
+            # of IO at north-star scale)
             return _count_kmers_spill_native(
                 _nlib, bases, lengths, quals, k, W, min_qual, min_freq,
-                range_bits, tmp_dir,
+                max(range_bits, 2), tmp_dir,
             )
 
     def run_range(rb, ri):
@@ -1533,30 +1539,48 @@ def _count_kmers_spill_native(lib, bases, lengths, quals, k, W, min_qual,
         raise OSError(f"native spill to {tmp_dir} failed")
     lib.w2rap_collapse_batch.restype = ctypes.c_int64
     hist = np.zeros(101, dtype=np.int64)
+
+    def collapse_range(ri):
+        # ctypes releases the GIL during the C call, so ranges sort in
+        # parallel on the worker pool (omp-parallel batch collapse,
+        # BuildReadQGraph.cc:1210-1250)
+        path = os.path.join(tmp_dir, f"kmer_batch_{ri:04d}.bin")
+        n_rows = int(range_counts[ri])
+        if n_rows == 0:
+            os.remove(path)
+            return None
+        out_w = np.empty((n_rows, W), dtype=np.uint32)
+        out_x = np.empty(n_rows, dtype=np.uint8)
+        out_c = np.empty(n_rows, dtype=np.uint8)
+        m = lib.w2rap_collapse_batch(
+            path.encode(), ctypes.c_int64(n_rows), ctypes.c_int32(W),
+            out_w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            out_x.ctypes.data_as(u8p), out_c.ctypes.data_as(u8p),
+        )
+        if m < 0:
+            raise OSError(f"native batch collapse of {path} failed")
+        os.remove(path)
+        cnt = out_c[:m]
+        h = np.zeros(101, dtype=np.int64)
+        np.add.at(h, np.minimum(cnt, 100), 1)
+        keep = cnt >= min_freq
+        return (out_w[:m][keep].copy(), cnt[keep].copy(),
+                out_x[:m][keep].copy(), h)
+
     parts = []
     try:
-        for ri in range(R):
-            path = os.path.join(tmp_dir, f"kmer_batch_{ri:04d}.bin")
-            n_rows = int(range_counts[ri])
-            if n_rows == 0:
-                os.remove(path)
+        from concurrent.futures import ThreadPoolExecutor
+
+        nt = int(os.environ.get("OMP_NUM_THREADS", "0")) or (
+            os.cpu_count() or 1
+        )
+        with ThreadPoolExecutor(max_workers=max(1, min(nt, R))) as pool:
+            results = list(pool.map(collapse_range, range(R)))
+        for res in results:  # range order => ascending, deterministic
+            if res is None:
                 continue
-            out_w = np.empty((n_rows, W), dtype=np.uint32)
-            out_x = np.empty(n_rows, dtype=np.uint8)
-            out_c = np.empty(n_rows, dtype=np.uint8)
-            m = lib.w2rap_collapse_batch(
-                path.encode(), ctypes.c_int64(n_rows), ctypes.c_int32(W),
-                out_w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-                out_x.ctypes.data_as(u8p), out_c.ctypes.data_as(u8p),
-            )
-            if m < 0:
-                raise OSError(f"native batch collapse of {path} failed")
-            os.remove(path)
-            cnt = out_c[:m]
-            np.add.at(hist, np.minimum(cnt, 100), 1)
-            keep = cnt >= min_freq
-            parts.append((out_w[:m][keep].copy(), cnt[keep].copy(),
-                          out_x[:m][keep].copy()))
+            parts.append(res[:3])
+            hist += res[3]
     except BaseException:
         # don't leak the per-range batch files (or an owned tmp dir) if
         # a collapse fails partway

@@ -83,12 +83,25 @@ def repath(hbv, paths, k2: int, extend_paths: bool = False, mesh=None):
         rc_less = rcm[r, diff_col] < fwd[r, diff_col]
         canon = np.where(rc_less[:, None], rcm, fwd).astype(np.int32)
         # dedup canonical rows, preserving first-seen order like the
-        # reference's place map (void view: memcmp equality on rows)
-        _, first, inv_map = np.unique(
-            np.ascontiguousarray(canon).view(f"V{4 * Lp}").reshape(-1),
-            return_index=True,
-            return_inverse=True,
+        # reference's place map.  Row grouping via lexsort +
+        # consecutive-dedup — np.unique on a void view memcmp-compares
+        # per element and was superlinear at north-star scale.  Only the
+        # grouping and first-occurrence indices matter downstream (the
+        # unique order is re-sorted by first-seen either way).
+        C_ = len(cand)
+        sorder = np.lexsort(
+            tuple(canon[:, c] for c in range(Lp - 1, -1, -1))
         )
+        sc = canon[sorder]
+        new_grp = np.empty(C_, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (sc[1:] != sc[:-1]).any(axis=1)
+        grp_sorted = np.cumsum(new_grp) - 1
+        inv_map = np.empty(C_, dtype=np.int64)
+        inv_map[sorder] = grp_sorted
+        n_grp = int(grp_sorted[-1]) + 1 if C_ else 0
+        first = np.full(n_grp, np.int64(1) << 62, dtype=np.int64)
+        np.minimum.at(first, inv_map, np.arange(C_, dtype=np.int64))
         order = np.argsort(first, kind="stable")
         rank_of_unique = np.empty_like(order)
         rank_of_unique[order] = np.arange(len(order))
