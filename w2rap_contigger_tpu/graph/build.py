@@ -235,6 +235,29 @@ def _recompute_adjacencies_dev(words, ctx, k: int, n_iters: int):
     return _adjacencies_core(words, words, ctx, k, n_iters)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "n_iters"))
+def _recompute_adjacencies_rows_dev(table, words, ctx, k: int,
+                                    n_iters: int):
+    return _adjacencies_core(table, words, ctx, k, n_iters)
+
+
+def _recompute_adjacencies_dev_auto(wp, cp, k: int, n_iters: int):
+    """Row-chunked adjacency pruning for big tables (each dispatch
+    materializes ~4 (rows, W) neighbor planes; see LINKS_NODE_CHUNK)."""
+    Mp = wp.shape[0]
+    if Mp <= 2 * LINKS_NODE_CHUNK:
+        return _recompute_adjacencies_dev(wp, cp, k, n_iters)
+    parts = []
+    for s in range(0, Mp, LINKS_NODE_CHUNK):
+        e = min(s + LINKS_NODE_CHUNK, Mp)
+        parts.append(
+            _recompute_adjacencies_rows_dev(
+                wp, wp[s:e], cp[s:e], k, n_iters
+            )
+        )
+    return jnp.concatenate(parts)
+
+
 def recompute_adjacencies(d, mesh=None, host=False):
     """d: ops.kmer_engine.KmerDict; updates d.ctx in place (host mirror
     or device view).  mesh: optional jax.sharding.Mesh — rows shard
@@ -243,10 +266,11 @@ def recompute_adjacencies(d, mesh=None, host=False):
     if d.size == 0:
         return d
     if mesh is None and d.dev is None:
-        # host dict on this backend: the native C++ kernel beats both
-        # the padded XLA form (quantum-padded rows + search over the
-        # padded table) and the numpy form (memcmp searchsorted)
-        lib = _native_graph_lib(force=host)
+        # host dict: the native C++ kernel beats both the padded XLA
+        # form (quantum-padded rows + search over the padded table) and
+        # the numpy form (memcmp searchsorted) — and on the TPU backend
+        # it avoids shipping a table the device never otherwise needs
+        lib = _native_graph_lib(force=True)
         if lib is not None:
             return _prune_ctx_native(lib, d)
     if host:
@@ -262,7 +286,7 @@ def recompute_adjacencies(d, mesh=None, host=False):
             mesh, jnp.asarray(wp), jnp.asarray(cp), d.k, n_iters
         )
     else:
-        new_ctx = _recompute_adjacencies_dev(
+        new_ctx = _recompute_adjacencies_dev_auto(
             jnp.asarray(wp), jnp.asarray(cp), d.k, n_iters
         )
     if d.dev is not None:
@@ -333,6 +357,35 @@ def _build_links_dev(words, ctx, k: int, n_iters: int):
     return _links_core(words, ctx, k, n_iters, node_ids)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "n_iters", "cnt"))
+def _build_links_chunk_dev(words, ctx, k: int, n_iters: int, start,
+                           cnt: int):
+    node_ids = start + jnp.arange(cnt, dtype=jnp.int32)
+    return _links_core(words, ctx, k, n_iters, node_ids)
+
+
+# one links dispatch materializes ~6 (nodes, W) planes; above this node
+# count the intermediates overflow HBM at big W (the 16Mbp run crashed
+# the TPU worker exactly there), so the node space is processed in
+# bounded chunks
+LINKS_NODE_CHUNK = 1 << 22
+
+
+def _build_links_dev_auto(wp, cp, k: int, n_iters: int):
+    Mp = wp.shape[0]
+    if 2 * Mp <= 2 * LINKS_NODE_CHUNK:
+        return _build_links_dev(wp, cp, k, n_iters)
+    parts = []
+    for s in range(0, 2 * Mp, LINKS_NODE_CHUNK):
+        cnt = min(LINKS_NODE_CHUNK, 2 * Mp - s)
+        parts.append(
+            _build_links_chunk_dev(
+                wp, cp, k, n_iters, jnp.int32(s), cnt
+            )
+        )
+    return jnp.concatenate(parts)
+
+
 @functools.partial(jax.jit, static_argnames=("n_iters",))
 def _list_rank_dev(nxt, n_iters: int):
     """Pointer-doubling list ranking on prev pointers.
@@ -400,7 +453,7 @@ def build_unitigs(d, mesh=None, host=False):
 
     lib = None
     if mesh is None and d.dev is None:
-        lib = _native_graph_lib(force=host)
+        lib = _native_graph_lib(force=True)
     if lib is not None or host:
         # host forms: no padding, no device dispatches (each jnp op is
         # a round trip on tunneled backends); native C++ when the
@@ -427,7 +480,7 @@ def build_unitigs(d, mesh=None, host=False):
                 mesh, jnp.asarray(wp), jnp.asarray(cp), k, n_iters
             )
         else:
-            nxt_d = _build_links_dev(
+            nxt_d = _build_links_dev_auto(
                 jnp.asarray(wp), jnp.asarray(cp), k, n_iters
             )
         rank_iters = max(1, int(np.ceil(np.log2(2 * Mp + 1))) + 1)

@@ -1449,8 +1449,12 @@ def count_kmers_batched(
 
     use_device = (not interpret) and jax.default_backend() == "tpu"
 
-    if not use_device and not interpret:
-        _nlib = _native_count_lib()
+    if not interpret and (not use_device or range_bits):
+        # CPU backend always; TPU backend when a memory ceiling forces
+        # range batching (the native spill kmerizes ONCE and bounds
+        # memory by range, where the device multipass would re-kmerize
+        # per range AND could not shrink its sort footprint)
+        _nlib = _native_count_lib(force=bool(range_bits))
         if _nlib is not None:
             # one kmerize pass spilling per-range batch files + per-range
             # C++ collapse — even when no memory ceiling forces batching:
@@ -1464,12 +1468,19 @@ def count_kmers_batched(
             )
 
     def run_range(rb, ri):
-        if use_device or interpret:
+        if (use_device and rb == 0) or interpret:
             return count_kmers_device(
                 bases, lengths, quals, k, min_qual=min_qual,
                 min_freq=min_freq, interpret=interpret,
                 range_bits=rb, range_index=ri,
             )
+        # memory-ceiling range passes: the one-shot device epilogue
+        # masks out-of-range rows but cannot REMOVE them before the
+        # global sort, so its footprint is the full stream regardless of
+        # the range count (16Mbp at -m 4 OOMed 16GB HBM exactly this
+        # way).  The chunked leaf-sort + host-merge path keeps device
+        # memory chunk-bounded — the same trade the reference's disk
+        # batches make (BuildReadQGraph.cc:1120-1250).
         return count_kmers(
             bases, lengths, quals, k, min_qual=min_qual,
             min_freq=min_freq, chunk_reads=chunk_reads,

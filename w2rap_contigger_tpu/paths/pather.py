@@ -334,7 +334,7 @@ def edge_tail_words(hbv):
     return bk.pack_codes(tails, ko)
 
 
-def _native_path_lib():
+def _native_path_lib(force: bool = False):
     """C++ pathing lookup (native/path_kernel.cc) — the CPU backend's
     fast path (XLA-CPU's batched dictionary binary search was the
     parity-mode wall after counting went native).  Returns the loaded
@@ -343,10 +343,11 @@ def _native_path_lib():
 
     if os.environ.get("W2RAP_NATIVE_PATH", "1") in ("0", "false", "off"):
         return None
-    import jax
+    if not force:
+        import jax
 
-    if jax.default_backend() != "cpu":
-        return None
+        if jax.default_backend() != "cpu":
+            return None
     from .. import native
 
     return native.load("w2rappath", ["path_kernel.cc"], libs=["pthread"])
@@ -441,7 +442,9 @@ def path_reads(
             np.zeros(n, dtype=np.int32),
         )
     if mesh is None and not force_dense:
-        nlib = _native_path_lib()
+        # host dicts route to the native C++ pather on any backend (a
+        # device lookup would first have to upload the whole table)
+        nlib = _native_path_lib(force=d.dev is None)
         if nlib is not None:
             return _path_reads_native(
                 nlib, reads, d, hbv, fwd_xlat, rev_xlat, k,
