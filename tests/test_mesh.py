@@ -161,3 +161,26 @@ def test_sharded_step2_graph_identical(rng):
     np.testing.assert_array_equal(hbv_sh.to_left, hbv_ref.to_left)
     np.testing.assert_array_equal(hbv_sh.to_right, hbv_ref.to_right)
     np.testing.assert_array_equal(hbv_sh.inv, hbv_ref.inv)
+
+
+def test_list_rank_sharded_matches_dev(rng):
+    """Row-sharded pointer doubling == single-chip pointer doubling on
+    random chain/cycle link structures."""
+    import jax
+    import jax.numpy as jnp
+
+    from w2rap_contigger_tpu.graph import build as gb
+
+    assert len(jax.devices()) >= 8
+    mesh = pmesh.make_mesh(8)
+    M = 64  # 2M = 128 nodes, divisible by 2*D
+    # random successor links with the orientation symmetry the builder
+    # produces: nxt[rc(a)] unconstrained here — equality of the two
+    # implementations only needs a shared arbitrary nxt array
+    nxt = rng.integers(-1, 2 * M, size=2 * M).astype(np.int32)
+    n_iters = 9
+    h1, r1, c1 = gb._list_rank_dev(jnp.asarray(nxt), n_iters)
+    h2, r2, c2 = pmesh.list_rank_sharded(mesh, jnp.asarray(nxt), n_iters)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))

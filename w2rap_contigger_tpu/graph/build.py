@@ -438,10 +438,9 @@ def build_unitigs(d, mesh=None, host=False):
 
     mesh: optional jax.sharding.Mesh — the link-building lookups (8
     searches per kmer, the phase's device wall) shard the oriented node
-    space across chips with the table replicated; bit-identical.  List
-    ranking stays single-chip: it is log-depth gather-bound with a
-    serial dependence across rounds, so each round would need a full
-    all-gather — the link build dominates.
+    space across chips with the table replicated, and list ranking runs
+    row-sharded with one tiled all-gather per doubling round
+    (parallel.mesh.list_rank_sharded); both bit-identical.
     """
     M = d.size
     k = d.k
@@ -484,7 +483,17 @@ def build_unitigs(d, mesh=None, host=False):
                 jnp.asarray(wp), jnp.asarray(cp), k, n_iters
             )
         rank_iters = max(1, int(np.ceil(np.log2(2 * Mp + 1))) + 1)
-        head_d, rank_d, cyc_d = _list_rank_dev(nxt_d, rank_iters)
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+
+            if (2 * Mp) % (2 * mesh.shape[pmesh.AXIS]) == 0:
+                head_d, rank_d, cyc_d = pmesh.list_rank_sharded(
+                    mesh, nxt_d, rank_iters
+                )
+            else:
+                head_d, rank_d, cyc_d = _list_rank_dev(nxt_d, rank_iters)
+        else:
+            head_d, rank_d, cyc_d = _list_rank_dev(nxt_d, rank_iters)
 
         nxt = np.asarray(nxt_d)
         head = np.asarray(head_d)

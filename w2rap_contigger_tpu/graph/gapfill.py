@@ -63,6 +63,11 @@ def _raw_parts(reads, d, edge_start, chunk_reads: int = 65536):
 
     k = d.k
     n, L = reads.n_reads, reads.max_len
+    if L < k:
+        # reads shorter than k hold no kmer: no parts at all (and the
+        # device lookup would reshape to a negative position count)
+        z = np.zeros(0, np.int64)
+        return z, z, z, z.astype(np.int32), z, z
     wp, _, kdef, mp = ke.padded_dict_views(d)
     n_iters = max(1, int(np.ceil(np.log2(mp + 1))))
     table_t = jnp.asarray(wp).T

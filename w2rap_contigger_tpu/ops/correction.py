@@ -82,10 +82,11 @@ def correct1pre(K, bases, lengths, quals, to_edit, trim_to,
         trim_to[id1] = lengths[id1]
         if lengths[id1] == 0:
             continue
-        fr = friends.get(id1, [])
-        if len(fr) > max_stack:
+        if friends.count(id1) > max_stack:
             continue
-        st = Stack.from_friends(id1, fr, bases, lengths, quals, "strict")
+        st = Stack.from_friends(
+            id1, friends.slice(id1), bases, lengths, quals, "strict"
+        )
         st.erase(st.high_qual_diff(Q_SOLID, 1))
         st.erase(st.high_qual_diff_window())
         b, q, tt = st.correct_all()
@@ -170,11 +171,11 @@ def correct_pairs1(K, max_freq, bases, lengths, quals, to_edit, cp: CPParams,
     for id1 in use:
         id1p = id1 ^ 1
         st1 = Stack.from_friends(
-            id1, friends.get(id1, []), bases, lengths, quals,
+            id1, friends.slice(id1), bases, lengths, quals,
             "right_extended",
         )
         st2 = Stack.from_friends(
-            id1p, friends.get(id1p, []), bases, lengths, quals,
+            id1p, friends.slice(id1p), bases, lengths, quals,
             "right_extended",
         )
         if st1.rows > max_stack or st2.rows > max_stack:

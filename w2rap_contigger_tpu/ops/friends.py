@@ -68,14 +68,52 @@ def rows_order(keys):
     return np.lexsort(tuple(cols[:, c] for c in range(C - 1, -1, -1)))
 
 
+class Friends:
+    """CSR container of validated friend alignments: per read, slices of
+    (id2, offset, rc) arrays sorted by (id2, offset, rc).  Replaces the
+    read -> tuple-list dict (materializing Python tuples for every pair
+    was a top step-5 cost at scale)."""
+
+    __slots__ = ("offs", "id2", "off", "rc")
+
+    def __init__(self, offs, id2, off, rc):
+        self.offs = offs
+        self.id2 = id2
+        self.off = off
+        self.rc = rc
+
+    def count(self, id1: int) -> int:
+        return int(self.offs[id1 + 1] - self.offs[id1])
+
+    def slice(self, id1: int):
+        o0, o1 = int(self.offs[id1]), int(self.offs[id1 + 1])
+        return self.id2[o0:o1], self.off[o0:o1], self.rc[o0:o1]
+
+    @staticmethod
+    def empty(n: int) -> "Friends":
+        return Friends(
+            np.zeros(n + 1, np.int64), np.zeros(0, np.int64),
+            np.zeros(0, np.int64), np.zeros(0, bool),
+        )
+
+
+# per-batch bound on materialized candidate pairs (memory, not output)
+_PAIR_BATCH = 1 << 24
+
+
 def find_friends(bases, lengths, K, max_freq=1000):
     """All validated friend alignments for a dense read matrix.
 
-    Returns dict: read id -> sorted list of (id2, offset, rc).
+    Returns a Friends CSR over read ids.  The kmer-group pair
+    enumeration is flat index arithmetic over batches of groups (the
+    per-group Python loop dominated step-5's correction wall); pair
+    order — and therefore the MAX_GROUP_PAIRS truncation point — matches
+    the sequential per-group loop exactly.
     """
+    n_reads = bases.shape[0]
     keys, rid, pos, rcf = _kmer_keys(bases, lengths, K)
     if len(rid) == 0:
-        return {}
+        return Friends.empty(n_reads)
     void = np.ascontiguousarray(keys).view(
         np.dtype((np.void, keys.shape[1]))
     ).ravel()
@@ -86,41 +124,48 @@ def find_friends(bases, lengths, K, max_freq=1000):
     bound = np.concatenate(
         [[True], void[1:] != void[:-1]]
     )
-    starts = np.flatnonzero(bound)
-    ends = np.concatenate([starts[1:], [len(void)]])
-    sizes = ends - starts
+    g_starts = np.flatnonzero(bound)
+    g_ends = np.concatenate([g_starts[1:], [len(void)]])
+    g_sizes = g_ends - g_starts
+    keep_g = (g_sizes >= 2) & (g_sizes <= max_freq)
+    g_starts, g_sizes = g_starts[keep_g], g_sizes[keep_g]
 
-    out_id1 = []
-    out_id2 = []
-    out_off = []
-    out_rc = []
-    budget = MAX_GROUP_PAIRS
-    for s, e, c in zip(starts, ends, sizes):
-        if c < 2 or c > max_freq:
-            continue
-        if budget <= 0:
-            break
-        g_r = rid[s:e]
-        g_p = pos[s:e]
-        g_o = rcf[s:e]
-        # all ordered pairs a != b
-        a = np.repeat(np.arange(c), c)
-        b = np.tile(np.arange(c), c)
-        m = g_r[a] != g_r[b]
+    lengths = np.asarray(lengths)
+    out_id1, out_id2, out_off, out_rc = [], [], [], []
+    emitted = 0
+    gi = 0
+    while gi < len(g_starts) and emitted < MAX_GROUP_PAIRS:
+        # batch of groups whose total c^2 fits the memory bound
+        sq = g_sizes[gi:] * g_sizes[gi:]
+        csum = np.cumsum(sq)
+        nb = max(1, int(np.searchsorted(csum, _PAIR_BATCH)))
+        bs = g_starts[gi : gi + nb]
+        bc = g_sizes[gi : gi + nb]
+        gi += nb
+        bsq = bc * bc
+        tot = int(bsq.sum())
+        rep_c = np.repeat(bc, bsq)
+        base = np.repeat(bs, bsq)
+        ccum = np.cumsum(bsq) - bsq
+        local = np.arange(tot) - np.repeat(ccum, bsq)
+        a = base + local // rep_c
+        b = base + local % rep_c
+        m = rid[a] != rid[b]
         a, b = a[m], b[m]
-        if len(a) > budget:
-            a, b = a[:budget], b[:budget]
-        budget -= len(a)
-        same = g_o[a] == g_o[b]
-        len2 = lengths[g_r[b]]
-        off_same = g_p[a] - g_p[b]
-        off_diff = g_p[a] - (len2 - K - g_p[b])
-        out_id1.append(g_r[a])
-        out_id2.append(g_r[b])
+        if emitted + len(a) > MAX_GROUP_PAIRS:
+            a = a[: MAX_GROUP_PAIRS - emitted]
+            b = b[: len(a)]
+        emitted += len(a)
+        same = rcf[a] == rcf[b]
+        len2 = lengths[rid[b]]
+        off_same = pos[a] - pos[b]
+        off_diff = pos[a] - (len2 - K - pos[b])
+        out_id1.append(rid[a])
+        out_id2.append(rid[b])
         out_off.append(np.where(same, off_same, off_diff))
         out_rc.append(~same)
     if not out_id1:
-        return {}
+        return Friends.empty(n_reads)
     id1 = np.concatenate(out_id1)
     id2 = np.concatenate(out_id2)
     off = np.concatenate(out_off)
@@ -133,13 +178,10 @@ def find_friends(bases, lengths, K, max_freq=1000):
     keep = np.ones(len(rec), dtype=bool)
     keep[1:] = (rec[1:] != rec[:-1]).any(axis=1)
     rec = rec[keep]
-    friends = {}
-    cut = np.concatenate(
-        [[0], np.flatnonzero(rec[1:, 0] != rec[:-1, 0]) + 1, [len(rec)]]
+    counts = np.bincount(rec[:, 0], minlength=n_reads)
+    offs = np.zeros(n_reads + 1, dtype=np.int64)
+    offs[1:] = np.cumsum(counts)
+    return Friends(
+        offs, rec[:, 1].copy(), rec[:, 2].copy(),
+        rec[:, 3].astype(bool),
     )
-    for i in range(len(cut) - 1):
-        rows = rec[cut[i] : cut[i + 1]]
-        friends[int(rows[0, 0])] = [
-            (int(r[1]), int(r[2]), bool(r[3])) for r in rows
-        ]
-    return friends

@@ -529,6 +529,18 @@ def count_kmers(
     n = bases.shape[0]
     W = bk.nwords(k)
     L = bases.shape[1]
+    if L < k:
+        # reads shorter than k emit no kmers (reference kmerization
+        # loops from 0 to len-K, BuildReadQGraph.cc:1062-1081); without
+        # this the per-chunk kmerize would reshape to a negative
+        # position count (seen in the wild as `reshape (-589824, 0)` =
+        # 65536-row chunk x (250-260+1) when counting 250bp reads at
+        # K=260).
+        empty = np.zeros((0, W), dtype=np.uint32)
+        return (
+            KmerDict(empty, np.zeros(0, np.int32), np.zeros(0, np.uint32), k),
+            np.zeros(101, dtype=np.int64),
+        )
 
     # Sequential per-chunk dispatch: queueing many big chunks degrades
     # badly on latency-bound backends; downloads use quantized slices so
@@ -1018,6 +1030,13 @@ def count_kmers_device(
     n = bases.shape[0]
     L = bases.shape[1]
     W = bk.nwords(k)
+    if L < k:
+        # no kmers at all (see count_kmers: negative-P reshape guard)
+        empty = np.zeros((0, W), dtype=np.uint32)
+        return (
+            KmerDict(empty, np.zeros(0, np.int32), np.zeros(0, np.uint32), k),
+            np.zeros(101, dtype=np.int64),
+        )
 
     packed_upload = _use_pallas_kmerize() and not interpret
     if packed_upload:

@@ -79,23 +79,27 @@ class Stack:
     # -- Initialize (ReadStack.cc:111-161) --------------------------------
     @staticmethod
     def from_friends(id1, friends, bases, lengths, quals, ctype="strict"):
-        """Build the founder+friends pile.  `friends` is a list of
-        (id2, offset, rc); ctype 'strict' clips at the founder length,
-        'right_extended' widens to the furthest friend end."""
-        n = len(friends) + 1
+        """Build the founder+friends pile.  `friends` is an
+        (id2 array, offset array, rc array) triple (a Friends.slice);
+        ctype 'strict' clips at the founder length, 'right_extended'
+        widens to the furthest friend end."""
+        f_id2, f_off, f_rc = friends
+        f_id2 = np.asarray(f_id2, dtype=np.int64)
+        f_off = np.asarray(f_off, dtype=np.int64)
+        f_rc = np.asarray(f_rc, dtype=bool)
+        n = len(f_id2) + 1
         k = int(lengths[id1])
-        if ctype == "right_extended":
-            for id2, off, _rc in friends:
-                k = max(k, off + int(lengths[id2]))
+        if ctype == "right_extended" and len(f_id2):
+            k = max(
+                k,
+                int((f_off + np.asarray(lengths)[f_id2]).max()),
+            )
         st = Stack(n, k)
         # vectorized over rows (was a per-row Python loop): stack col c
         # of row j reads source position c - off (mirrored for rc rows)
-        ids = np.empty(n, dtype=np.int64)
-        offs = np.empty(n, dtype=np.int64)
-        rcs = np.empty(n, dtype=bool)
-        ids[0], offs[0], rcs[0] = id1, 0, False
-        for j, (id2, off, rc) in enumerate(friends):
-            ids[j + 1], offs[j + 1], rcs[j + 1] = id2, off, rc
+        ids = np.concatenate([[id1], f_id2])
+        offs = np.concatenate([[0], f_off])
+        rcs = np.concatenate([[False], f_rc])
         l2 = np.asarray(lengths)[ids].astype(np.int64)
         cols = np.arange(k, dtype=np.int64)[None, :]
         src = cols - offs[:, None]

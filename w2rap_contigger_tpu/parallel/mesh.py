@@ -102,6 +102,13 @@ def count_kmers_sharded(
     n = bases.shape[0]
     L = bases.shape[1]
     W = bk.nwords(k)
+    if L < k:
+        # no kmers (see ke.count_kmers: negative-P reshape guard)
+        empty = np.zeros((0, W), dtype=np.uint32)
+        return (
+            ke.KmerDict(empty, np.zeros(0, np.int32), np.zeros(0, np.uint32), k),
+            np.zeros(101, dtype=np.int64),
+        )
     P_pos = L - k + 1
     # clamp the per-chip chunk to the (octave-quantized) actual load so
     # small inputs don't pad to the full production chunk
@@ -288,6 +295,94 @@ def recompute_adjacencies_sharded(mesh: Mesh, words, ctx, k: int,
         return gb._adjacencies_core(w_full, w_rows, c_rows, k, n_iters)
 
     return step(words, words, ctx)
+
+
+def list_rank_sharded(mesh: Mesh, nxt, n_iters: int):
+    """Pointer-doubling list ranking with node rows sharded and one
+    tiled all-gather per doubling round (graph.build._list_rank_dev's
+    multi-chip form).
+
+    Each round reads ptr/dist at arbitrary node indices, so chips
+    exchange their shard (all_gather over ICI) and then gather locally:
+    the random-access gather bandwidth — the phase's actual wall —
+    splits D ways while the all-gather rides ICI at ~2 x array bytes per
+    round.  Bit-identical to single-chip: integer pointer jumping with a
+    deterministic schedule.  Returns (head, rank, on_cycle) sharded
+    along the mesh axis (concatenating = the single-chip result).
+    """
+    D = mesh.shape[AXIS]
+    N2 = nxt.shape[0]
+    assert N2 % (2 * D) == 0  # quantum-padded node space, D a power of 2
+    M = N2 // 2
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(jax.P(),),
+        out_specs=(jax.P(AXIS),) * 3,
+    )
+    def step(nxt_full):
+        per = N2 // D
+        di = jax.lax.axis_index(AXIS)
+        n = (di * per + jnp.arange(per, dtype=jnp.int32)).astype(jnp.int32)
+        rc_n = jnp.where(n < M, n + M, n - M)
+        nxt_rc = nxt_full[rc_n]
+        prev_sh = jnp.where(
+            nxt_rc >= 0, jnp.where(nxt_rc < M, nxt_rc + M, nxt_rc - M), -1
+        )
+        ptr_sh = jnp.where(prev_sh >= 0, prev_sh, n)
+        dist_sh = (prev_sh >= 0).astype(jnp.int32)
+
+        def body(_, state):
+            ptr_s, dist_s = state
+            ptr_full = jax.lax.all_gather(ptr_s, AXIS, tiled=True)
+            dist_full = jax.lax.all_gather(dist_s, AXIS, tiled=True)
+            dist_s = dist_s + dist_full[ptr_s]
+            ptr_s = ptr_full[ptr_s]
+            return ptr_s, dist_s
+
+        ptr_sh, dist_sh = jax.lax.fori_loop(
+            0, n_iters, body, (ptr_sh, dist_sh)
+        )
+        # on_cycle: the final pointer still has a predecessor
+        rc_p = jnp.where(ptr_sh < M, ptr_sh + M, ptr_sh - M)
+        nxt_rc_p = nxt_full[rc_p]
+        prev_of_ptr = jnp.where(
+            nxt_rc_p >= 0,
+            jnp.where(nxt_rc_p < M, nxt_rc_p + M, nxt_rc_p - M),
+            -1,
+        )
+        return ptr_sh, dist_sh, prev_of_ptr >= 0
+
+    return step(nxt)
+
+
+def make_lookup_flat_sharded(mesh: Mesh, k: int, n_iters: int):
+    """Step-3 place-walk translation lookups, D position-chunks at a
+    time, one per chip, dictionary + translation tables replicated (the
+    multi-chip form of the reference's KmerPath translation loop,
+    Repath.cc:140-196).  Bit-identical: each chip decodes a disjoint
+    contiguous chunk of the flat position space."""
+    from ..paths import flat_pather as _fp
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            jax.P(AXIS),
+            jax.P(), jax.P(), jax.P(), jax.P(), jax.P(), jax.P(), jax.P(),
+        ),
+        out_specs=(jax.P(AXIS),) * 2,
+        check_vma=False,  # per-chip disjoint chunks; no collectives
+    )
+    def step(cb, table_t, kdef_edge, kdef_off, kdef_rc, fwd_x, rev_x, ekm):
+        he, off = _fp._lookup_flat_core(
+            cb[0], table_t, kdef_edge, kdef_off, kdef_rc, fwd_x, rev_x,
+            ekm, k, n_iters,
+        )
+        return he[None], off[None]
+
+    return step
 
 
 def make_lookup_compact_sharded(mesh: Mesh, k: int, n_iters: int, L: int):

@@ -20,8 +20,7 @@ from ..ops import kmer_engine as ke
 from ..ops import lookup
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_iters"))
-def _lookup_flat_chunk(
+def _lookup_flat_core(
     bases, table_t, kdef_edge, kdef_off, kdef_rc, fwd_xlat, rev_xlat, ekm,
     k: int, n_iters: int,
 ):
@@ -41,9 +40,14 @@ def _lookup_flat_chunk(
     return hbv_e, off
 
 
+_lookup_flat_chunk = functools.partial(
+    jax.jit, static_argnames=("k", "n_iters")
+)(_lookup_flat_core)
+
+
 def path_flat_sequences(
     flat_bases, seg_offsets, d, hbv, fwd_xlat, rev_xlat,
-    chunk_pos: int | None = None, host: bool = False,
+    chunk_pos: int | None = None, host: bool = False, mesh=None,
 ):
     """Walk each segment through the graph.
 
@@ -56,6 +60,11 @@ def path_flat_sequences(
     host=True runs the per-position lookup in pure numpy (blob-local
     graphs: tiny inputs where device dispatch round trips dominate on a
     tunneled backend).
+
+    mesh: optional jax.sharding.Mesh — position chunks are decoded D at
+    a time, one per chip, with the dictionary replicated (the multi-chip
+    form of Repath.cc:140-196's translation loop); bit-identical to
+    single-chip.
     """
     k = d.k
     if chunk_pos is None:
@@ -63,6 +72,15 @@ def path_flat_sequences(
     T = len(flat_bases)
     S = len(seg_offsets) - 1
     n_pos = max(T - k + 1, 0)
+    if mesh is not None and n_pos > 0:
+        from ..parallel import mesh as pmesh
+
+        # clamp the chunk to the octave-quantized per-chip load so every
+        # chip gets work even on small inputs (cf. mesh.count_kmers_sharded)
+        D = mesh.shape[pmesh.AXIS]
+        chunk_pos = min(
+            chunk_pos, ke._quantize_octave(max(1, -(-n_pos // D)), 1024)
+        )
     all_e = np.full(n_pos, -1, dtype=np.int32)
     all_o = np.zeros(n_pos, dtype=np.int32)
     if host:
@@ -105,7 +123,30 @@ def path_flat_sequences(
             (np.diff(hbv.edge_start) - k + 1)[fwd_xlat].astype(np.int32)
         )
 
-        for s in range(0, n_pos, chunk_pos):
+        starts_list = list(range(0, n_pos, chunk_pos))
+        if mesh is not None and len(starts_list) > 1:
+            from ..parallel import mesh as pmesh
+
+            D = mesh.shape[pmesh.AXIS]
+            lookup_sh = pmesh.make_lookup_flat_sharded(mesh, k, n_iters)
+            for g in range(0, len(starts_list), D):
+                grp = starts_list[g : g + D]
+                cbs = np.zeros((D, chunk_pos + halo), dtype=np.uint8)
+                for i, s in enumerate(grp):
+                    avail = min(T - s, chunk_pos + halo)
+                    cbs[i, :avail] = flat_bases[s : s + avail]
+                he, off = lookup_sh(
+                    jnp.asarray(cbs), table_t, kdef_edge, kdef_off,
+                    kdef_rc, fx, rx, ekm_canon,
+                )
+                he = np.asarray(he)
+                off = np.asarray(off)
+                for i, s in enumerate(grp):
+                    C = min(chunk_pos, n_pos - s)
+                    all_e[s : s + C] = he[i, :C]
+                    all_o[s : s + C] = off[i, :C]
+            starts_list = []
+        for s in starts_list:
             C = min(chunk_pos, n_pos - s)
             cb = np.zeros(chunk_pos + halo, dtype=np.uint8)
             avail = min(T - s, chunk_pos + halo)

@@ -46,6 +46,11 @@ def _lookup_core(
     """
     n = packed.shape[0]
     P = L - k + 1
+    if P <= 0:
+        # callers must pre-filter (path_reads/_raw_parts return empty
+        # paths when max_len < k); a negative P here would surface as an
+        # opaque `reshape new_sizes must all be positive` deep in XLA
+        raise ValueError(f"pather lookup needs L >= k (L={L}, k={k})")
     words = ke.kmer_windows(packed, k, P)
     canon, is_rev = bk.canonicalize(words, k)
 

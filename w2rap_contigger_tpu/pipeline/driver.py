@@ -237,4 +237,11 @@ def run_pipeline(
         gfa.gfa_dump(hbv, f"{out_dir}/{prefix}_assembly", find_lines=True)
         perf.checkpoint("MakeGaps+FinalFiles")
 
+    from ..utils import sysinfo
+
+    if sysinfo.timelog_enabled():
+        rep = sysinfo.timelog_report()
+        if rep:
+            print(rep)
+
     return hbv, paths

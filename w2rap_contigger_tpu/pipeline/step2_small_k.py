@@ -50,39 +50,45 @@ def build_read_q_graph(
     and read pathing runs data-parallel over chips; results are
     bit-identical to single-chip.
     """
+    from ..utils.sysinfo import timelog
+
     if mesh is not None:
         from ..parallel import mesh as pmesh
 
-        d, hist = pmesh.count_kmers_sharded(
-            reads.bases,
-            reads.lengths,
-            reads.quals,
-            k,
-            mesh,
-            min_qual=min_qual,
-            min_freq=min_freq,
-            chunk_reads=chunk_reads,
-        )
+        with timelog("step2.count"):
+            d, hist = pmesh.count_kmers_sharded(
+                reads.bases,
+                reads.lengths,
+                reads.quals,
+                k,
+                mesh,
+                min_qual=min_qual,
+                min_freq=min_freq,
+                chunk_reads=chunk_reads,
+            )
     else:
-        d, hist = ke.count_kmers_batched(
-            reads.bases,
-            reads.lengths,
-            reads.quals,
-            k,
-            min_qual=min_qual,
-            min_freq=min_freq,
-            chunk_reads=chunk_reads,
-            disk_batches=disk_batches,
-            tmp_dir=tmp_dir,
-            max_mem_gb=max_mem_gb,
-        )
+        with timelog("step2.count"):
+            d, hist = ke.count_kmers_batched(
+                reads.bases,
+                reads.lengths,
+                reads.quals,
+                k,
+                min_qual=min_qual,
+                min_freq=min_freq,
+                chunk_reads=chunk_reads,
+                disk_batches=disk_batches,
+                tmp_dir=tmp_dir,
+                max_mem_gb=max_mem_gb,
+            )
     if workdir:
         with open(f"{workdir}/small_K.freqs", "w") as f:
             for i in range(1, 101):
                 f.write(f"{i}, {hist[i]}\n")
 
-    gb.recompute_adjacencies(d, mesh=mesh)
-    edge_bases, edge_start = gb.build_unitigs(d, mesh=mesh)
+    with timelog("step2.adjacencies"):
+        gb.recompute_adjacencies(d, mesh=mesh)
+    with timelog("step2.unitigs"):
+        edge_bases, edge_start = gb.build_unitigs(d, mesh=mesh)
     if do_fill_gaps or do_join_overlaps:
         from ..graph import gapfill
 
@@ -97,11 +103,16 @@ def build_read_q_graph(
                 reads, d, edge_bases, edge_start,
                 k // 2, min_freq2, chunk_reads,
             )
-    hbv, fwd_xlat, rev_xlat = gb.build_hbv_from_edges(edge_bases, edge_start, k)
+    with timelog("step2.hbv"):
+        hbv, fwd_xlat, rev_xlat = gb.build_hbv_from_edges(
+            edge_bases, edge_start, k
+        )
 
-    paths = pather.path_reads(
-        reads, d, hbv, fwd_xlat, rev_xlat, chunk_reads=chunk_reads,
-        mesh=mesh,
-    )
-    paths = extend.extend_paths(reads, paths, hbv)
+    with timelog("step2.pathing"):
+        paths = pather.path_reads(
+            reads, d, hbv, fwd_xlat, rev_xlat, chunk_reads=chunk_reads,
+            mesh=mesh,
+        )
+    with timelog("step2.extend"):
+        paths = extend.extend_paths(reads, paths, hbv)
     return hbv, paths, d

@@ -189,7 +189,7 @@ def repath(hbv, paths, k2: int, extend_paths: bool = False, mesh=None):
 
     # ---- place walks in the new graph ---------------------------------
     ipaths2, starts, stops = flat_pather.path_flat_sequences(
-        flat, seg_offsets, d2, hbv2, fx2, rx2
+        flat, seg_offsets, d2, hbv2, fx2, rx2, mesh=mesh
     )
     inv2 = hbv2.inv
 

@@ -81,25 +81,95 @@ def clean200x(hbv, paths, reads, min_size: int = 0, verbosity: int = 0):
     return hbv, paths
 
 
+def _collect_tables(hbv, paths, is_branch):
+    """Global vectorized read collection for ALL branch vertices at once.
+
+    The reference collects, per branch vertex v, every occurrence of an
+    in-edge of v (fwd, start inclusive), every occurrence of an out-edge
+    of v not preceded by an in-edge of v (fwd, start exclusive), and the
+    involuted variants (Clean200.cc:267-345).  Each of those is a filter
+    over the FLAT path-position table: a position p holding edge e
+    contributes to vertex to_right[e] / to_left[e] / to_right[inv[e]] /
+    to_left[inv[e]] respectively, with the start offset a per-read
+    prefix-sum — so one pass over all positions + four
+    sort-by-vertex CSR tables replaces the per-vertex Python loops
+    (this was 850s of the 16Mbp wall; the reference runs the per-vertex
+    work under `omp parallel for`, Clean200.cc:236).
+
+    Returns four (offsets (V+1,), rid, start) CSR triples: fwd_in,
+    fwd_out, rc_in, rc_out.
+    """
+    V = hbv.n_vertices
+    inv = hbv.inv
+    kmers = hbv.edge_kmers().astype(np.int64)
+    n = paths.n_reads
+    pe = paths.edges.astype(np.int64)
+    plens = paths.path_len()
+    rid = np.repeat(np.arange(n, dtype=np.int64), plens)
+    npos = len(pe)
+
+    # start offsets: excl = start[rid] - sum(kmers of elements before p)
+    csum = np.concatenate([[0], np.cumsum(kmers[pe])])
+    pref = csum[:npos] - np.repeat(csum[paths.offsets[:-1]], plens)
+    start_excl = paths.start.astype(np.int64)[rid] - pref
+    start_incl = start_excl - kmers[pe]
+
+    first = np.zeros(npos, dtype=bool)
+    first[paths.offsets[:-1][plens > 0]] = True
+    last = np.zeros(npos, dtype=bool)
+    last[paths.offsets[1:][plens > 0] - 1] = True
+    prev_e = np.concatenate([[0], pe[:-1]])
+    next_e = np.concatenate([pe[1:], [0]])
+
+    tr = hbv.to_right.astype(np.int64)
+    tl = hbv.to_left.astype(np.int64)
+    va = tr[pe]            # fwd in-edge occurrence  -> start_incl
+    vb = tl[pe]            # fwd out-edge occurrence -> start_excl
+    vc = tr[inv[pe]]       # rc in-edge occurrence   -> start_excl
+    vd = tl[inv[pe]]       # rc out-edge occurrence  -> start_incl
+    # "out-edge not preceded by an in-edge of v": prev's head is v
+    ok_b = first | (tr[prev_e] != vb)
+    # rc mirror: next is inv of an in-edge of v
+    ok_d = last | (tr[inv[next_e]] != vd)
+
+    def _csr(keys, mask, vals):
+        m = mask & is_branch[keys]
+        kk = keys[m]
+        order = np.argsort(kk, kind="stable")
+        kk = kk[order]
+        counts = np.bincount(kk, minlength=V)
+        offs = np.zeros(V + 1, dtype=np.int64)
+        offs[1:] = np.cumsum(counts)
+        return offs, rid[m][order], vals[m][order]
+
+    all_m = np.ones(npos, dtype=bool)
+    return (
+        _csr(va, all_m, start_incl),
+        _csr(vb, ok_b, start_excl),
+        _csr(vc, all_m, start_excl),
+        _csr(vd, ok_d, start_incl),
+    )
+
+
 def _one_pass(hbv, paths, reads, min_size):
     E = hbv.n_edges
     inv = hbv.inv
     kmers = hbv.edge_kmers()
     fo, fe, to, te = hbv.vertex_csr()
-    pi_off, pi_read = invert_paths(paths, E)
     k = hbv.k
 
-    # per-path-position bookkeeping for start computation
-    plens = paths.path_len()
-    rid_flat = np.repeat(np.arange(paths.n_reads), plens)
-
-    to_delete = []
     indeg = hbv.in_degree()
     outdeg = hbv.out_degree()
+    is_branch = (indeg > 0) & (outdeg > 1)
+    branch = np.flatnonzero(is_branch)
 
-    for v in range(hbv.n_vertices):
-        if indeg[v] == 0 or outdeg[v] <= 1:
-            continue
+    to_delete = []
+    if len(branch):
+        (ao, ar, av), (bo, br, bv), (co, cr, cv), (do_, dr, dv) = (
+            _collect_tables(hbv, paths, is_branch)
+        )
+    for v in branch:
+        v = int(v)
         n = int(outdeg[v])
         depth = MAX_RL
         exts, depth = get_extensions(hbv, fo, fe, v, depth)
@@ -117,36 +187,41 @@ def _one_pass(hbv, paths, reads, min_size):
             bmat[l, :m] = b[:m]
             bvalid[l, :m] = True
 
-        # ---- collect (read, start) pairs, fwd orientation -------------
-        pi = _collect_fwd(hbv, paths, pi_off, pi_read, te, to, fe, fo, v, kmers)
-        rpi = _collect_rc(hbv, paths, pi_off, pi_read, te, to, fe, fo, v, kmers, inv)
+        # ---- (read, start) pairs: slices of the global CSR tables -----
+        pi_ids = np.concatenate([ar[ao[v] : ao[v + 1]], br[bo[v] : bo[v + 1]]])
+        pi_st = np.concatenate([av[ao[v] : ao[v + 1]], bv[bo[v] : bo[v + 1]]])
+        rpi_ids = np.concatenate(
+            [cr[co[v] : co[v + 1]], dr[do_[v] : do_[v + 1]]]
+        )
+        rpi_st = np.concatenate(
+            [cv[co[v] : co[v + 1]], dv[do_[v] : do_[v + 1]]]
+        )
 
         scores = [[] for _ in range(n)]
         _score_block(
-            reads, pi, bmat, bvalid, ei, n, N, win, scores, rc=False, k=k
+            reads, pi_ids, pi_st, bmat, bvalid, ei, n, N, win, scores,
+            rc=False, k=k,
         )
         _score_block(
-            reads, rpi, bmat, bvalid, ei, n, N, win, scores, rc=True, k=k
+            reads, rpi_ids, rpi_st, bmat, bvalid, ei, n, N, win, scores,
+            rc=True, k=k,
         )
 
         _analyze_scores(hbv, inv, v, scores, to_delete, out_edges)
 
-    # tiny standalone edges
+    # tiny standalone edges (vectorized over vertices)
     if min_size > 0:
-        for v in range(hbv.n_vertices):
-            if to[v + 1] - to[v] != 0:
-                continue
-            if fo[v + 1] - fo[v] != 1:
-                continue
-            e = int(fe[fo[v]])
-            w = int(hbv.to_right[e])
-            if w == v:
-                continue
-            if to[w + 1] - to[w] != 1 or fo[w + 1] - fo[w] != 0:
-                continue
-            if kmers[e] > min_size:
-                continue
-            to_delete.append(e)
+        vs = np.flatnonzero((np.diff(to) == 0) & (np.diff(fo) == 1))
+        if len(vs):
+            e = fe[fo[vs]].astype(np.int64)
+            w = hbv.to_right[e].astype(np.int64)
+            keep = (
+                (w != vs)
+                & (np.diff(to)[w] == 1)
+                & (np.diff(fo)[w] == 0)
+                & (kmers[e] <= min_size)
+            )
+            to_delete.extend(int(x) for x in e[keep])
 
     if to_delete:
         hbv, paths = ops.delete_edges(hbv, paths, np.array(to_delete))
@@ -165,7 +240,10 @@ def _path_start_before(hbv, paths, id_, j, inclusive):
 def _collect_fwd(hbv, paths, pi_off, pi_read, te, to, fe, fo, v, kmers):
     """Clean200x fwd read collection (Clean200.cc:267-296): reads whose
     path contains an in-edge of v (start incl.) or an out-edge of v not
-    preceded by an in-edge of v (start excl.)."""
+    preceded by an in-edge of v (start excl.).
+
+    Retained as the reference-shaped per-vertex oracle for tests; the
+    pipeline uses the global vectorized `_collect_tables`."""
     out = []
     ins = set(int(e) for e in te[to[v] : to[v + 1]])
     for e in ins:
@@ -210,12 +288,12 @@ def _collect_rc(hbv, paths, pi_off, pi_read, te, to, fe, fo, v, kmers, inv):
     return out
 
 
-def _score_block(reads, pi, bmat, bvalid, ei, n, N, win, scores, rc, k):
+def _score_block(reads, ids, st, bmat, bvalid, ei, n, N, win, scores, rc, k):
     """Vectorized qual-mismatch scoring (Clean200.cc:296-315,345-365)."""
-    if not pi:
+    if len(ids) == 0:
         return
-    ids = np.array([p[0] for p in pi], dtype=np.int64)
-    st = np.array([p[1] for p in pi], dtype=np.int64)
+    ids = np.asarray(ids, dtype=np.int64)
+    st = np.asarray(st, dtype=np.int64)
     R = len(ids)
     rb = reads.bases[ids]  # (R, L)
     rq = reads.quals[ids]

@@ -629,10 +629,12 @@ def assemble_gaps2(hbv, paths, reads, pair_sample=PAIR_SAMPLE,
     Blobs run on a dynamic worker pool (the reference's
     ``omp parallel for schedule(dynamic,1)`` over 5000-blob batches,
     AssembleGaps.cc:316-320); results are accumulated in blob order so
-    the output is bit-identical to the sequential loop.
+    the output is bit-identical to the sequential loop.  The pool is a
+    fork()ed process pool by default (blob work is pure numpy + the
+    native C++ leaf, so child processes share hbv/paths/reads
+    copy-on-write and scale past the GIL); W2RAP_BLOB_POOL=thread
+    selects the old thread pool.
     """
-    from concurrent.futures import ThreadPoolExecutor
-
     k = hbv.k
     clusters, _ = unsat(hbv, paths)
     if not clusters:
@@ -652,10 +654,18 @@ def assemble_gaps2(hbv, paths, reads, pair_sample=PAIR_SAMPLE,
             pair_sample, max_bpaths,
         )
 
+    pool_kind = os.environ.get("W2RAP_BLOB_POOL", "proc")
     new_stuff = []
     if threads == 1:
         results = [run_blob(lr) for lr in LR]
+    elif pool_kind == "proc" and hasattr(os, "fork"):
+        results = _run_blobs_forked(
+            hbv, paths, reads, layout, LR, k, pair_sample, max_bpaths,
+            threads,
+        )
     else:
+        from concurrent.futures import ThreadPoolExecutor
+
         with ThreadPoolExecutor(max_workers=threads) as pool:
             results = list(pool.map(run_blob, LR))
     solved = 0
@@ -667,6 +677,43 @@ def assemble_gaps2(hbv, paths, reads, pair_sample=PAIR_SAMPLE,
         print(f"AssembleGaps2: {solved}/{len(LR)} blobs solved, "
               f"{len(new_stuff)} pieces")
     return new_stuff
+
+
+_BLOB_SHARED = None  # (hbv, paths, reads, layout, LR, k, ps, mb) in workers
+
+
+def _blob_worker(i):
+    hbv, paths, reads, layout, LR, k, ps, mb = _BLOB_SHARED
+    return _process_blob(
+        hbv, paths, reads, layout, LR[i][0], LR[i][1], k, ps, mb
+    )
+
+
+def _run_blobs_forked(hbv, paths, reads, layout, LR, k, pair_sample,
+                      max_bpaths, threads):
+    """Dynamic (chunksize=1) fork pool over blobs: the big read-only
+    arrays are shared copy-on-write, only the blob index travels to the
+    worker and only the result pieces travel back (the process-level
+    analogue of ``omp parallel for schedule(dynamic,1)``,
+    AssembleGaps.cc:316-320).  Falls back to a thread pool if the fork
+    pool cannot run (e.g. a backend that forbids forking)."""
+    import multiprocessing as mp
+
+    global _BLOB_SHARED
+    _BLOB_SHARED = (
+        hbv, paths, reads, layout, LR, k, pair_sample, max_bpaths
+    )
+    try:
+        ctx = mp.get_context("fork")
+        with ctx.Pool(threads) as pool:
+            return pool.map(_blob_worker, range(len(LR)), chunksize=1)
+    except Exception:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            return list(pool.map(_blob_worker, range(len(LR))))
+    finally:
+        _BLOB_SHARED = None
 
 
 def _process_blob(hbv, paths, reads, layout, lefts, rights, k,
