@@ -68,12 +68,15 @@ def zero_corrected_quals(orig_bases, bases, quals):
     return np.where(orig_bases != bases, 0, quals)
 
 
-def correct1pre(K, bases, lengths, quals, to_edit, trim_to,
-                max_freq=FF_MAX_FREQ, max_stack=MAX_STACK):
+def correct1pre_seq(K, bases, lengths, quals, to_edit, trim_to,
+                    max_freq=FF_MAX_FREQ, max_stack=MAX_STACK):
     """Correct1Pre (src/paths/long/Correct1Pre.cc:50-176): per-read
     strict friend stacks, HighQualDiff(30,1) + HighQualDiffWindow
     filters, CorrectAll consensus correction.  Jacobi-style: all stacks
-    see the pre-pass reads; edits land after the loop."""
+    see the pre-pass reads; edits land after the loop.
+
+    Sequential per-read form — retained as the oracle for the batched
+    implementation below (the pipeline uses correct1pre)."""
     friends = friends_mod.find_friends(bases, lengths, K, max_freq)
     new_b = bases.copy()
     new_q = quals.copy()
@@ -94,6 +97,176 @@ def correct1pre(K, bases, lengths, quals, to_edit, trim_to,
         l = int(lengths[id1])
         new_b[id1, :l] = b[:l]
         new_q[id1, :l] = q[:l]
+    return new_b, new_q
+
+
+def _batched_stacks(ids1, friends, bases, lengths, quals, C, Rb):
+    """(B, Rb, C) strict stacks for founder reads ids1 (all of length C),
+    rows padded to Rb with UNDEF.  One flat gather builds every stack of
+    the bucket at once (the batched (blobs, rows, cols) readstack form:
+    stack shapes are the shapes a TPU wants, ReadStack.cc:111-161)."""
+    B = len(ids1)
+    rows_i = (friends.offs[ids1 + 1] - friends.offs[ids1]) + 1
+    tot = int(rows_i.sum())
+    ids = np.empty(tot, dtype=np.int64)
+    offs = np.empty(tot, dtype=np.int64)
+    rcs = np.empty(tot, dtype=bool)
+    member = np.repeat(np.arange(B), rows_i)
+    slot = np.arange(tot) - np.repeat(np.cumsum(rows_i) - rows_i, rows_i)
+    first = slot == 0
+    ids[first] = ids1
+    offs[first] = 0
+    rcs[first] = False
+    rest = ~first
+    f0 = friends.offs[ids1]
+    # friend j of member m sits at CSR position f0[m] + slot - 1
+    src_csr = (f0[member] + slot - 1)[rest]
+    ids[rest] = friends.id2[src_csr]
+    offs[rest] = friends.off[src_csr]
+    rcs[rest] = friends.rc[src_csr]
+
+    l2 = np.asarray(lengths)[ids].astype(np.int64)
+    cols = np.arange(C, dtype=np.int64)[None, :]
+    src = cols - offs[:, None]
+    valid = (src >= 0) & (src < l2[:, None])
+    srcc = np.where(rcs[:, None], l2[:, None] - 1 - src, src)
+    srcc = np.clip(srcc, 0, bases.shape[1] - 1)
+    vals = bases[ids[:, None], srcc]
+    qvals = quals[ids[:, None], srcc]
+    vals = np.where(rcs[:, None], 3 - vals, vals)
+    flat_b = np.where(valid, vals, -1).astype(np.int8)
+    flat_q = np.where(valid, qvals, -1).astype(np.int16)
+
+    sb = np.full((B, Rb, C), -1, dtype=np.int8)
+    sq = np.full((B, Rb, C), -1, dtype=np.int16)
+    sb[member, slot] = flat_b
+    sq[member, slot] = flat_q
+    return sb, sq
+
+
+def _hqd_batched(sb, sq, n):
+    """HighQualDiff(n, top=1) over (B, R, C) stacks (ReadStack.cc:597)."""
+    mism = (sb != sb[:, :1]) & (sq >= n) & (sq[:, :1] >= n)
+    sus = mism.any(axis=2)
+    sus[:, 0] = False
+    return sus
+
+
+def _hqdw_batched(sb, sq):
+    """HighQualDiffWindow over (B, R, C) stacks (ReadStack.cc:2078).
+    Invalidated rows (all-UNDEF) can neither confirm a window nor be
+    flagged, so masking == the sequential erase."""
+    w, min_diffs, min_qsum, min_qual = 10, 3, 30, 10
+    B, R, C = sb.shape
+    if C < w or R < 2:
+        return np.zeros((B, R), dtype=bool)
+    bw = np.lib.stride_tricks.sliding_window_view(sb, w, axis=2)
+    qw = np.lib.stride_tricks.sliding_window_view(sq, w, axis=2)
+    P = C - w + 1
+    f_def = (sq[:, 0, :P] >= 0) & (sq[:, 0, w - 1 :] >= 0)  # (B, P)
+    eq_all = (bw[:, 1:] == bw[:, :1]).all(axis=3)  # (B, R-1, P)
+    hq_all = (qw[:, 1:] >= min_qual).all(axis=3)
+    confirmed = f_def & (eq_all & hq_all).any(axis=1)  # (B, P)
+    row_def = (qw[:, 1:, :, 0] >= 0) & (qw[:, 1:, :, w - 1] >= 0)
+    mism = bw[:, 1:] != bw[:, :1]
+    diffs = mism.sum(axis=3)
+    qsum = np.where(mism, qw[:, 1:], 0).sum(axis=3)
+    flag = (
+        confirmed[:, None, :]
+        & row_def
+        & (diffs >= min_diffs)
+        & (qsum >= min_qsum)
+    ).any(axis=2)
+    return np.concatenate([np.zeros((B, 1), bool), flag], axis=1)
+
+
+def _correct_all_batched(sb, sq):
+    """CorrectAll over (B, R, C) stacks (ReadStack.cc:1212): returns
+    (b (B, C) uint8, q (B, C) int16, trim_to (B,) int64)."""
+    B, R, C = sb.shape
+    min_win, min_win_ratio, max_lose = 50, 10, 100
+    qf = sq.astype(np.float64)
+    w = np.where(qf <= 2, np.minimum(qf, 0.2), qf)
+    w = np.where(sq >= 0, w, 0.0)
+    sums = np.zeros((B, 4, C))
+    tops = np.zeros((B, 4, C), dtype=np.int64)
+    for base in range(4):
+        m = sb == base
+        sums[:, base] = np.where(m, w, 0.0).sum(axis=1)
+        tops[:, base] = np.where(m & (sq >= 0), sq, 0).max(axis=1, initial=0)
+    # BaseMetrics::reverseSort per batch element (stack._metrics_order)
+    rev = np.argsort(-sums[:, ::-1], axis=1, kind="stable")
+    order = 3 - rev
+    winner = order[:, 0]
+    val0 = np.take_along_axis(sums, order[:, :1], axis=1)[:, 0]
+    sub = sums - tops
+    val1 = np.take_along_axis(sub, order[:, 1:2], axis=1)[:, 0]
+    ok = (val0 >= min_win) & (val0 >= min_win_ratio * val1) & (
+        val1 <= max_lose
+    )
+    bad = ~ok
+    trim_to = np.where(bad.any(axis=1), np.argmax(bad, axis=1), C).astype(
+        np.int64
+    )
+    b0 = np.where(sb[:, 0] >= 0, sb[:, 0], 0).astype(np.uint8)
+    change = ok & (sb[:, 0] != winner)
+    b = np.where(change, winner, b0).astype(np.uint8)
+    q = np.where(change, 0, sq[:, 0]).astype(np.int16)
+    return b, q, trim_to
+
+
+def correct1pre(K, bases, lengths, quals, to_edit, trim_to,
+                max_freq=FF_MAX_FREQ, max_stack=MAX_STACK):
+    """Batched Correct1Pre: reads are bucketed by (founder length,
+    pow2-padded row count) and each bucket runs the
+    HighQualDiff -> HighQualDiffWindow -> CorrectAll chain as one
+    (B, R, C) masked reduction (suspect rows are invalidated in place —
+    equivalent to the sequential erase, asserted by
+    tests/test_correct1pre_batched.py against correct1pre_seq).
+    Reference: Correct1Pre.cc:50-176."""
+    friends = friends_mod.find_friends(bases, lengths, K, max_freq)
+    new_b = bases.copy()
+    new_q = quals.copy()
+    edit = np.flatnonzero(to_edit)
+    trim_to[edit] = lengths[edit]
+    edit = edit[np.asarray(lengths)[edit] > 0]
+    if len(edit) == 0:
+        return new_b, new_q
+    counts = friends.offs[edit + 1] - friends.offs[edit]
+    edit = edit[counts <= max_stack]
+    if len(edit) == 0:
+        return new_b, new_q
+    rows = (friends.offs[edit + 1] - friends.offs[edit]) + 1
+    rb = np.maximum(2, 1 << np.ceil(np.log2(rows)).astype(np.int64))
+    cl = np.asarray(lengths)[edit].astype(np.int64)
+    order = np.lexsort((edit, rb, cl))
+    edit, rb, cl = edit[order], rb[order], cl[order]
+    grp = np.concatenate(
+        [[True], (rb[1:] != rb[:-1]) | (cl[1:] != cl[:-1])]
+    )
+    gstart = np.flatnonzero(grp)
+    gend = np.concatenate([gstart[1:], [len(edit)]])
+    L = bases.shape[1]
+    MAX_ELEMS = 1 << 26  # per-bucket working-set bound (~192MB of stacks)
+    for s0, e0 in zip(gstart, gend):
+        C = int(cl[s0])
+        Rb = int(rb[s0])
+        bstep = max(1, MAX_ELEMS // (Rb * C))
+        for s in range(s0, e0, bstep):
+            ids1 = edit[s : min(s + bstep, e0)]
+            sb, sq = _batched_stacks(
+                ids1, friends, bases, lengths, quals, C, Rb
+            )
+            sus = _hqd_batched(sb, sq, Q_SOLID)
+            sb[sus] = -1
+            sq[sus] = -1
+            sus = _hqdw_batched(sb, sq)
+            sb[sus] = -1
+            sq[sus] = -1
+            b, q, tt = _correct_all_batched(sb, sq)
+            trim_to[ids1] = tt
+            new_b[ids1[:, None], np.arange(C)[None, :]] = b
+            new_q[ids1[:, None], np.arange(C)[None, :]] = q
     return new_b, new_q
 
 

@@ -7,8 +7,11 @@ undefined cell (the reference uses ' '), quals int16 with -1 undefined —
 plus per-row metadata (id, rc2, pid, pair_pos, offset, len).  Every
 operation is a masked column reduction or a sliding-window reduction,
 i.e. the shapes a TPU wants; stacks per blob are tiny (<=MAX_STACK rows,
-~read-length columns), so the host vectorized form is the fast path and
-the batched (blobs, rows, cols) device form is a later drop-in.
+~read-length columns), so the host vectorized form is the fast path.
+The batched (stacks, rows, cols) form of the Correct1Pre chain
+(construction + HighQualDiff + HighQualDiffWindow + CorrectAll as one
+masked reduction per shape bucket) lives in ops/correction.py
+(_batched_stacks/_hqd_batched/_hqdw_batched/_correct_all_batched).
 
 Reference quirks reproduced deliberately:
 * Merge copies pair_pos into len for the appended rows
