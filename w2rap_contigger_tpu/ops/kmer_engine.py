@@ -471,7 +471,7 @@ def _native_count_lib(force: bool = False):
             return None
     from .. import native
 
-    return native.load("w2rapcount", ["count_kernel.cc"])
+    return native.load("w2rapcount", ["count_kernel.cc"], libs=["pthread"])
 
 
 def _native_count_leaf(lib, cb, cl, cq, k, W, min_qual, range_bits,
@@ -1556,6 +1556,7 @@ def _count_kmers_spill_native(lib, bases, lengths, quals, k, W, min_qual,
     R = 1 << range_bits
     range_counts = np.zeros(R, dtype=np.int64)
     u8p = ctypes.POINTER(ctypes.c_uint8)
+    nt = int(os.environ.get("OMP_NUM_THREADS", "0")) or (os.cpu_count() or 1)
     lib.w2rap_spill_ranges.restype = ctypes.c_int64
     rc = lib.w2rap_spill_ranges(
         bases.ctypes.data_as(u8p), quals.ctypes.data_as(u8p),
@@ -1564,6 +1565,7 @@ def _count_kmers_spill_native(lib, bases, lengths, quals, k, W, min_qual,
         ctypes.c_int32(W), ctypes.c_int32(min_qual),
         ctypes.c_int32(range_bits), tmp_dir.encode(),
         range_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int32(nt),
     )
     if rc != 0:
         raise OSError(f"native spill to {tmp_dir} failed")
@@ -1586,6 +1588,7 @@ def _count_kmers_spill_native(lib, bases, lengths, quals, k, W, min_qual,
             path.encode(), ctypes.c_int64(n_rows), ctypes.c_int32(W),
             out_w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
             out_x.ctypes.data_as(u8p), out_c.ctypes.data_as(u8p),
+            ctypes.c_int32(range_bits),
         )
         if m < 0:
             raise OSError(f"native batch collapse of {path} failed")
