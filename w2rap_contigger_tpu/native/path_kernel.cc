@@ -67,6 +67,11 @@ struct Shared {
     const int32_t* rev_xlat;
     const int32_t* ekm;
     const int64_t* lut;  // 65537 prefix starts over dict word0 >> 16
+    // run-continuation predictor: row_of(e0, off) = eperm[erow[e0] + off]
+    // (consecutive read positions almost always continue the current
+    // edge, so one row compare replaces the binary search)
+    const int32_t* eperm;
+    const int64_t* erow;
     int S;
     int32_t* out_pos;
     int32_t* out_e;
@@ -101,21 +106,44 @@ static void path_block(const Shared& sh, int64_t r0, int64_t r1,
                 rc[ri >> 4] |= cb << (30 - 2 * (ri & 15));
             }
             int32_t prev_e = -3, prev_off = 0;
+            int64_t pred_row = -1;  // expected dict row of the next pos
             for (int64_t p = 0;; ++p) {
                 bool is_rev = canon_is_rev(fwd.data(), rc.data(), W);
                 const uint32_t* canon = is_rev ? rc.data() : fwd.data();
-                uint32_t b16 = canon[0] >> 16;
-                int64_t i = find_row(sh.dict, W, sh.lut[b16],
-                                     sh.lut[b16 + 1], canon);
+                int64_t i = -1;
+                if (pred_row >= 0) {
+                    const uint32_t* pr = sh.dict + pred_row * W;
+                    bool eq = true;
+                    for (int j = 0; j < W; ++j)
+                        if (pr[j] != canon[j]) { eq = false; break; }
+                    if (eq) i = pred_row;
+                }
+                if (i < 0) {
+                    uint32_t b16 = canon[0] >> 16;
+                    i = find_row(sh.dict, W, sh.lut[b16],
+                                 sh.lut[b16 + 1], canon);
+                }
                 int32_t e, o, km;
                 if (i >= 0) {
                     int32_t e0 = sh.kdef_edge[i];
                     bool rcf = is_rev ^ (sh.kdef_rc[i] != 0);
                     e = rcf ? sh.rev_xlat[e0] : sh.fwd_xlat[e0];
                     km = sh.ekm[e0];
-                    o = rcf ? km - 1 - sh.kdef_off[i] : sh.kdef_off[i];
+                    int32_t off0 = sh.kdef_off[i];
+                    o = rcf ? km - 1 - off0 : off0;
+                    // the next position, if it continues this edge, sits
+                    // at oriented offset o+1, i.e. raw offset off0+1 when
+                    // the walk follows the edge forward (rcf false) and
+                    // off0-1 when it walks the rc strand (o == km-1-off0);
+                    // a wrong guess just fails the row compare and falls
+                    // back to the binary search (correctness unaffected)
+                    int32_t noff = rcf ? off0 - 1 : off0 + 1;
+                    pred_row = (noff >= 0 && noff < km)
+                                   ? (int64_t)sh.eperm[sh.erow[e0] + noff]
+                                   : -1;
                 } else {
                     e = -1; o = 0; km = 0;
+                    pred_row = -1;
                 }
                 bool new_run =
                     (e != prev_e) || (e >= 0 && o != prev_off + 1);
@@ -164,9 +192,10 @@ int32_t w2rap_path_leaf(const uint8_t* bases, const int32_t* lengths,
                         const int32_t* kdef_edge, const int32_t* kdef_off,
                         const uint8_t* kdef_rc, const int32_t* fwd_xlat,
                         const int32_t* rev_xlat, const int32_t* ekm,
-                        int32_t S, int32_t n_threads, int32_t* out_pos,
-                        int32_t* out_e, int32_t* out_off,
-                        int32_t* out_ekm, int32_t* out_nruns) {
+                        int64_t n_edges0, int32_t S, int32_t n_threads,
+                        int32_t* out_pos, int32_t* out_e,
+                        int32_t* out_off, int32_t* out_ekm,
+                        int32_t* out_nruns) {
     // 16-bit prefix ranges over the sorted table (word0 high half)
     std::vector<int64_t> lut(65538);
     {
@@ -177,9 +206,21 @@ int32_t w2rap_path_leaf(const uint8_t* bases, const int32_t* lengths,
         }
         lut[65537] = m;
     }
+    // (edge, offset) -> dict row table for the run-continuation
+    // predictor: bucket rows by canonical edge (counting sort; every
+    // edge holds offsets 0..ekm-1 exactly once by unitig construction)
+    std::vector<int64_t> erow(n_edges0 + 1, 0);
+    std::vector<int32_t> eperm(m);
+    {
+        for (int64_t i = 0; i < m; ++i) erow[kdef_edge[i] + 1]++;
+        for (int64_t e = 0; e < n_edges0; ++e) erow[e + 1] += erow[e];
+        for (int64_t i = 0; i < m; ++i)
+            eperm[erow[kdef_edge[i]] + kdef_off[i]] = (int32_t)i;
+    }
     Shared sh{bases,    lengths,  L,        k,        W,
               dict_words, m,      kdef_edge, kdef_off, kdef_rc,
-              fwd_xlat, rev_xlat, ekm,      lut.data(), S,
+              fwd_xlat, rev_xlat, ekm,      lut.data(),
+              eperm.data(), erow.data(), S,
               out_pos,  out_e,    out_off,  out_ekm,  out_nruns};
     int nt = n_threads > 0 ? n_threads : 1;
     if (nt > n) nt = n > 0 ? (int)n : 1;

@@ -401,7 +401,8 @@ def _path_reads_native(lib, reads, d, hbv, fwd_xlat, rev_xlat, k,
             eid.ctypes.data_as(i32p), eoff.ctypes.data_as(i32p),
             erc.ctypes.data_as(u8p), fx.ctypes.data_as(i32p),
             rx.ctypes.data_as(i32p), ekm.ctypes.data_as(i32p),
-            ctypes.c_int32(S), ctypes.c_int32(nt),
+            ctypes.c_int64(len(ekm)), ctypes.c_int32(S),
+            ctypes.c_int32(nt),
             pos_s.ctypes.data_as(i32p), e_s.ctypes.data_as(i32p),
             off_s.ctypes.data_as(i32p), ekm_s.ctypes.data_as(i32p),
             nruns.ctypes.data_as(i32p),
