@@ -65,7 +65,31 @@ def reroute_paths(hbv, paths, reads):
         & (in_deg[np.asarray(to_left)[first_edge]] == 0)
         & (out_deg[np.asarray(to_right)[first_edge]] == 0)
     )
-    todo = np.flatnonzero((plens > 0) & ~isolated)
+    # a placement scoring qsum == 0 can never lose to a strictly-better
+    # alternative (the adoption test keeps the original on ties,
+    # GapToyTools5.cc:545-560), so perfectly-matching single-edge reads
+    # skip the per-read candidate search entirely — one batched gather
+    # scores them all (the bulk of reads on a well-corrected graph)
+    perfect = np.zeros(len(plens), dtype=bool)
+    cand1 = np.flatnonzero(fits1 & ~isolated)
+    if cand1.size:
+        Lmax = reads.bases.shape[1]
+        e1 = first_edge[cand1]
+        base_idx = (
+            np.asarray(hbv.edge_start)[e1].astype(np.int64)
+            + starts_arr[cand1].astype(np.int64)
+        )[:, None] + np.arange(Lmax, dtype=np.int64)[None, :]
+        # fits1 guarantees start + len <= edge length; clamp the pad tail
+        base_idx = np.minimum(base_idx, len(hbv.edge_bases) - 1)
+        seg = np.asarray(hbv.edge_bases)[base_idx]
+        inlen = (
+            np.arange(Lmax, dtype=np.int64)[None, :]
+            < np.asarray(reads.lengths)[cand1][:, None]
+        )
+        mism = inlen & (reads.bases[cand1] != seg)
+        qs1 = np.where(mism, reads.quals[cand1], 0).sum(axis=1)
+        perfect[cand1[qs1 == 0]] = True
+    todo = np.flatnonzero((plens > 0) & ~isolated & ~perfect)
 
     changed: dict[int, tuple] = {}
     new_starts = paths.start.astype(np.int64).copy()

@@ -155,22 +155,31 @@ def _hqd_batched(sb, sq, n):
 def _hqdw_batched(sb, sq):
     """HighQualDiffWindow over (B, R, C) stacks (ReadStack.cc:2078).
     Invalidated rows (all-UNDEF) can neither confirm a window nor be
-    flagged, so masking == the sequential erase."""
+    flagged, so masking == the sequential erase.
+
+    Window reductions run as cumulative-sum differences (one pass over
+    (B, R, C) instead of w passes over the materialized window view)."""
     w, min_diffs, min_qsum, min_qual = 10, 3, 30, 10
     B, R, C = sb.shape
     if C < w or R < 2:
         return np.zeros((B, R), dtype=bool)
-    bw = np.lib.stride_tricks.sliding_window_view(sb, w, axis=2)
-    qw = np.lib.stride_tricks.sliding_window_view(sq, w, axis=2)
     P = C - w + 1
+
+    def wsum(x):
+        # (..., C) -> (..., P): sum over each length-w window
+        cs = np.cumsum(x, axis=-1)
+        out = cs[..., w - 1 :].copy()
+        out[..., 1:] -= cs[..., : C - w]
+        return out
+
     f_def = (sq[:, 0, :P] >= 0) & (sq[:, 0, w - 1 :] >= 0)  # (B, P)
-    eq_all = (bw[:, 1:] == bw[:, :1]).all(axis=3)  # (B, R-1, P)
-    hq_all = (qw[:, 1:] >= min_qual).all(axis=3)
-    confirmed = f_def & (eq_all & hq_all).any(axis=1)  # (B, P)
-    row_def = (qw[:, 1:, :, 0] >= 0) & (qw[:, 1:, :, w - 1] >= 0)
-    mism = bw[:, 1:] != bw[:, :1]
-    diffs = mism.sum(axis=3)
-    qsum = np.where(mism, qw[:, 1:], 0).sum(axis=3)
+    eq = (sb[:, 1:] == sb[:, :1]).astype(np.int16)  # (B, R-1, C)
+    hq = (sq[:, 1:] >= min_qual).astype(np.int16)
+    ok_cnt = wsum((eq & hq).astype(np.int16))
+    confirmed = f_def & (ok_cnt == w).any(axis=1)  # (B, P)
+    row_def = (sq[:, 1:, :P] >= 0) & (sq[:, 1:, w - 1 :] >= 0)
+    diffs = wsum((1 - eq).astype(np.int16))
+    qsum = wsum(np.where(eq == 0, sq[:, 1:], 0).astype(np.int32))
     flag = (
         confirmed[:, None, :]
         & row_def
@@ -706,9 +715,19 @@ def _close_pairs_k2(creads, cquals, lengths, trim_to, done, to_edit,
     if int(tl.max(initial=0)) < K2:
         return creads, cquals, done, to_edit, creads_done
     rs = ReadSet(creads, tl, np.full_like(creads, 40))
-    d, _ = ke.count_kmers(
-        rs.bases, rs.lengths, rs.quals, K2, min_qual=0, min_freq=1
-    )
+    # host-forced flat counting: quals are uniform 40 with min_qual=0,
+    # so row counting == flat counting over the trimmed sequences; the
+    # jitted row path would pay a fresh XLA compile per distinct blob
+    # shape (measured 104 compiles / ~6s of the repeat-rich step-5 wall)
+    # row counting emits only for glen > k (strict); mirror that by
+    # keeping only reads longer than K2 in the flat pool
+    keep_l = np.where(tl > K2, tl.astype(np.int64), 0)
+    seg = np.zeros(n + 1, dtype=np.int64)
+    seg[1:] = np.cumsum(keep_l)
+    flat = np.concatenate(
+        [creads[i, : keep_l[i]] for i in range(n)]
+    ) if n else np.zeros(0, np.uint8)
+    d = ke.count_kmers_flat(flat, seg, K2, min_freq=1, host=True)
     if d.size == 0:
         return creads, cquals, done, to_edit, creads_done
     gb.recompute_adjacencies(d)

@@ -134,22 +134,33 @@ def find_friends(bases, lengths, K, max_freq=1000):
     out_id1, out_id2, out_off, out_rc = [], [], [], []
     emitted = 0
     gi = 0
+    gsq_all = g_sizes * g_sizes
+    gsq_cum = np.cumsum(gsq_all)
     while gi < len(g_starts) and emitted < MAX_GROUP_PAIRS:
         # batch of groups whose total c^2 fits the memory bound
-        sq = g_sizes[gi:] * g_sizes[gi:]
-        csum = np.cumsum(sq)
-        nb = max(1, int(np.searchsorted(csum, _PAIR_BATCH)))
-        bs = g_starts[gi : gi + nb]
-        bc = g_sizes[gi : gi + nb]
+        prev = gsq_cum[gi - 1] if gi else 0
+        nb = max(
+            1, int(np.searchsorted(gsq_cum[gi:], prev + _PAIR_BATCH))
+        )
+        bs = g_starts[gi : gi + nb].astype(np.int32)
+        bc = g_sizes[gi : gi + nb].astype(np.int32)
         gi += nb
         bsq = bc * bc
         tot = int(bsq.sum())
-        rep_c = np.repeat(bc, bsq)
-        base = np.repeat(bs, bsq)
-        ccum = np.cumsum(bsq) - bsq
-        local = np.arange(tot) - np.repeat(ccum, bsq)
-        a = base + local // rep_c
-        b = base + local % rep_c
+        # division-free (a, b) grids: occurrence a = each group row
+        # repeated c times (a-major), b = the group's full row range per
+        # a-block (int32 throughout: the hot arrays halve in width)
+        blk = np.repeat(bc, bc)  # length Σc: rows of all groups
+        occ = np.repeat(bs, bc) + (
+            np.arange(len(blk), dtype=np.int32)
+            - np.repeat(np.cumsum(bc, dtype=np.int32) - bc, bc)
+        )
+        a = np.repeat(occ, blk)
+        bstart = np.repeat(np.repeat(bs, bc), blk)
+        boff = np.arange(tot, dtype=np.int32) - np.repeat(
+            np.cumsum(blk, dtype=np.int32) - blk, blk
+        )
+        b = bstart + boff
         m = rid[a] != rid[b]
         a, b = a[m], b[m]
         if emitted + len(a) > MAX_GROUP_PAIRS:
@@ -166,22 +177,41 @@ def find_friends(bases, lengths, K, max_freq=1000):
         out_rc.append(~same)
     if not out_id1:
         return Friends.empty(n_reads)
-    id1 = np.concatenate(out_id1)
-    id2 = np.concatenate(out_id2)
-    off = np.concatenate(out_off)
+    id1 = np.concatenate(out_id1).astype(np.int64)
+    id2 = np.concatenate(out_id2).astype(np.int64)
+    off = np.concatenate(out_off).astype(np.int64)
     rc = np.concatenate(out_rc)
-    rec = np.stack([id1, id2, off, rc.astype(np.int64)], axis=1)
-    # row-unique via lexsort + consecutive-dedup: np.unique(axis=0)
-    # views rows as a void dtype and sorts with one memcmp per compare
-    order = np.lexsort((rec[:, 3], rec[:, 2], rec[:, 1], rec[:, 0]))
-    rec = rec[order]
-    keep = np.ones(len(rec), dtype=bool)
-    keep[1:] = (rec[1:] != rec[:-1]).any(axis=1)
-    rec = rec[keep]
-    counts = np.bincount(rec[:, 0], minlength=n_reads)
+    # row-unique via ONE packed-u64 sort when the fields fit (blob-scale
+    # ids < 2^21, |off| < 2^20) — a 4-key lexsort over millions of pairs
+    # was a top step-5 cost; fall back to lexsort otherwise
+    omin = int(off.min(initial=0))
+    omax = int(off.max(initial=0))
+    if n_reads < (1 << 21) and -(1 << 20) < omin and omax < (1 << 20):
+        key = (
+            (id1.astype(np.uint64) << np.uint64(43))
+            | (id2.astype(np.uint64) << np.uint64(22))
+            | ((off + (1 << 20)).astype(np.uint64) << np.uint64(1))
+            | rc.astype(np.uint64)
+        )
+        key = np.unique(key)
+        o1 = (key >> np.uint64(43)).astype(np.int64)
+        o2 = ((key >> np.uint64(22)) & np.uint64((1 << 21) - 1)).astype(
+            np.int64
+        )
+        oo = ((key >> np.uint64(1)) & np.uint64((1 << 21) - 1)).astype(
+            np.int64
+        ) - (1 << 20)
+        orc = (key & np.uint64(1)).astype(bool)
+    else:
+        rec = np.stack([id1, id2, off, rc.astype(np.int64)], axis=1)
+        order = np.lexsort((rec[:, 3], rec[:, 2], rec[:, 1], rec[:, 0]))
+        rec = rec[order]
+        keep = np.ones(len(rec), dtype=bool)
+        keep[1:] = (rec[1:] != rec[:-1]).any(axis=1)
+        rec = rec[keep]
+        o1, o2, oo = rec[:, 0], rec[:, 1].copy(), rec[:, 2].copy()
+        orc = rec[:, 3].astype(bool)
+    counts = np.bincount(o1, minlength=n_reads)
     offs = np.zeros(n_reads + 1, dtype=np.int64)
     offs[1:] = np.cumsum(counts)
-    return Friends(
-        offs, rec[:, 1].copy(), rec[:, 2].copy(),
-        rec[:, 3].astype(bool),
-    )
+    return Friends(offs, o2, oo, orc)

@@ -163,6 +163,17 @@ def pre_correct(reads, chunk_reads: int = 16384):
 
     new_bases = bases.copy()
     n_fixed = 0
+    # quantize the row count so the jitted kernels see a handful of
+    # shapes across blobs (step 5 calls this once per blob; a fresh
+    # XLA compile per distinct blob size dominated the correction wall)
+    nq = ke._quantize_octave(n, 128)
+    if nq != n:
+        bases = np.concatenate(
+            [bases, np.zeros((nq - n, L), np.uint8)]
+        )
+        quals = np.concatenate([quals, np.zeros((nq - n, L), quals.dtype)])
+        lengths = np.concatenate([lengths, np.zeros(nq - n, lengths.dtype)])
+        n = nq
     # one global pass (single sort over all positions)
     canon, center, is_rev, pal = _flank_windows(
         jnp.asarray(bases), jnp.asarray(lengths)

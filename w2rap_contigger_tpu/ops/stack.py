@@ -299,45 +299,47 @@ class Stack:
 
     def strong_consensus2(self, raise_zero):
         """StrongConsensus2 (ReadStack.cc:532): agreement-run-raised
-        quality sums; con stays the Consensus1 winner."""
-        order = _metrics_order(self._base_sums(self._qual_weights()))
+        quality sums; con stays the Consensus1 winner.
+
+        The per-row run-scan loops are vectorized: per cell, the
+        enclosing agreement-run bounds come from running max/min of the
+        nearest disagreeing position on either side, and the raise
+        applies as one masked maximum (bit-identical: same libm log10)."""
         con = self.column_consensus1().astype(np.int8)
-        del order
         min_window = 41
         R, C = self.rows, self.cols
+        bsm = self.bases
+        qs = self.quals.astype(np.float64)
+        eq = bsm == con[None, :]
+        t = np.arange(C)
+        # i1 = run start (nearest disagreeing position to the left + 1)
+        i1 = (
+            np.maximum.accumulate(np.where(~eq, t[None, :], -1), axis=1)
+            + 1
+        )
+        # i2 = run end (nearest disagreeing position to the right), excl.
+        lfr = np.maximum.accumulate(
+            np.where(~eq[:, ::-1], t[None, :], -1), axis=1
+        )[:, ::-1]
+        i2 = (C - 1) - lfr
+        dist = np.minimum(t[None, :] - i1, i2 - t[None, :] - 1)
+        mask = eq & (i2 - i1 >= min_window) & (2 * dist >= min_window)
+        if not raise_zero:
+            mask &= qs != 0
+        # 5*log10(2*dist) via a small gather table (dist < C); math.log10
+        # per entry, not np.log10 — numpy's SIMD log can differ by 1 ulp
+        # from libm and the sequential form used libm
+        dt = np.zeros(C + 1)
+        for dd in range(1, C + 1):
+            dt[dd] = 5.0 * math.log10(2 * dd)
+        q = np.where(mask, np.maximum(qs, dt[np.clip(dist, 0, C)]), qs)
+        d = qs >= 0
+        p = np.where(q <= 2, np.minimum(q, 0.2), q)
+        p = np.where(q == 0, 0.1, p)
+        p = np.where(d, p, 0.0)
         qsum = np.zeros((4, C))
-        for j in range(R):
-            bs = self.bases[j]
-            qs = self.quals[j].astype(np.float64)
-            q = qs.copy()
-            eq = bs == con
-            # agreement runs
-            i = 0
-            while i < C:
-                if not eq[i]:
-                    i += 1
-                    continue
-                k = i
-                while k < C and eq[k]:
-                    k += 1
-                if k - i >= min_window:
-                    i1, i2 = i, k
-                    lo = i1 + min_window // 2
-                    hi = i2 - min_window // 2  # inclusive
-                    for l in range(lo, hi + 1):
-                        dist = min(l - i1, i2 - l - 1)
-                        if 2 * dist < min_window:
-                            continue
-                        if not raise_zero and q[l] == 0:
-                            continue
-                        q[l] = max(q[l], 5.0 * math.log10(2 * dist))
-                i = k
-            d = qs >= 0
-            p = np.where(q <= 2, np.minimum(q, 0.2), q)
-            p = np.where(q == 0, 0.1, p)
-            p = np.where(d, p, 0.0)
-            for b in range(4):
-                qsum[b] += np.where(bs == b, p, 0.0)
+        for b in range(4):
+            qsum[b] = np.where(bsm == b, p, 0.0).sum(axis=0)
         sorder = _metrics_order(qsum)
         val0 = np.take_along_axis(qsum, sorder[:1], axis=0)[0]
         val1 = np.take_along_axis(qsum, sorder[1:2], axis=0)[0]

@@ -16,36 +16,49 @@ import numpy as np
 
 from ..graph import build as gb
 from ..ops import kmer_engine as ke
-from ..ops import lookup
 from . import pather
 
 FP_K = 60
 
 
+def _count_rows_host(bases, lengths, k, min_freq):
+    """Host flat counting over read rows (glen > k gating at min_qual=0
+    == keep only rows longer than k), mirroring ke.count_kmers
+    semantics without any jitted kernel — blob-scale inputs pay a fresh
+    XLA compile per distinct shape otherwise."""
+    n = bases.shape[0]
+    keep_l = np.where(lengths > k, lengths.astype(np.int64), 0)
+    seg = np.zeros(n + 1, dtype=np.int64)
+    seg[1:] = np.cumsum(keep_l)
+    flat = (
+        np.concatenate([bases[i, : keep_l[i]] for i in range(n)])
+        if n
+        else np.zeros(0, np.uint8)
+    )
+    return ke.count_kmers_flat(flat, seg, k, min_freq=min_freq, host=True)
+
+
 def trim_reads(reads, min_freq: int):
     """TrimReadsOld: per-read trim length by kmer multiplicity."""
-    import jax.numpy as jnp
+    from ..graph.build import _rows_bytes, _search_host
+    from ..ops import bitkmer as bk
 
     n, L = reads.bases.shape
     if L < FP_K:
         return reads.lengths.copy()
     # count with no qual gating
-    hi_quals = np.full_like(reads.quals, 40)
-    d, _ = ke.count_kmers(
-        reads.bases, reads.lengths, hi_quals, FP_K, min_qual=0, min_freq=min_freq
-    )
-    # per-position membership in the >=min_freq dictionary
-    wp, cp, _, mp = ke.padded_dict_views(d)
+    d = _count_rows_host(reads.bases, reads.lengths, FP_K, min_freq)
+    # per-position membership in the >=min_freq dictionary (host search)
     P = L - FP_K + 1
-    packed = ke.pack_rows(jnp.asarray(reads.bases))
-    words = ke.kmer_windows(packed, FP_K, P)
-    from ..ops import bitkmer as bk
-
+    win = np.lib.stride_tricks.sliding_window_view(
+        reads.bases, FP_K, axis=1
+    ).reshape(n * P, FP_K)
+    words = bk.pack_codes(np.ascontiguousarray(win), FP_K)
     canon, _ = bk.canonicalize(words, FP_K)
-    n_iters = max(1, int(np.ceil(np.log2(mp + 1))))
-    _, found = lookup._search(
-        jnp.asarray(wp).T, canon.reshape(n * P, -1).T, n_iters
-    )
+    if d.size:
+        _, found = _search_host(_rows_bytes(d.words), canon)
+    else:
+        found = np.zeros(n * P, dtype=bool)
     found = np.asarray(found).reshape(n, P)
 
     trim_to = reads.lengths.copy()
@@ -77,10 +90,7 @@ def fill_pairs(reads, min_freq: int = 5):
     trimmed = ReadSet(tb, trim_to, tq)
 
     # graph of trimmed reads (all kmers, like LongReadsToPaths cov=50)
-    d, _ = ke.count_kmers(
-        trimmed.bases, trimmed.lengths, trimmed.quals, FP_K,
-        min_qual=0, min_freq=1,
-    )
+    d = _count_rows_host(trimmed.bases, trimmed.lengths, FP_K, 1)
     if d.size == 0:
         return [np.zeros(0, np.uint8) for _ in range(reads.n_reads)], 0
     gb.recompute_adjacencies(d)

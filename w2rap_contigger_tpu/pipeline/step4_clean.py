@@ -289,7 +289,12 @@ def _collect_rc(hbv, paths, pi_off, pi_read, te, to, fe, fo, v, kmers, inv):
 
 
 def _score_block(reads, ids, st, bmat, bvalid, ei, n, N, win, scores, rc, k):
-    """Vectorized qual-mismatch scoring (Clean200.cc:296-315,345-365)."""
+    """Qual-mismatch scoring (Clean200.cc:296-315,345-365) as matmuls:
+    q[r, l] = sum_w rqual.(okr & ev & rbase != eb)
+            = (masked_qual @ ev.T) - sum_b (masked_qual.(rbase==b)) @
+              (ev.(eb==b)).T
+    — integer values stay < 2^24 so float32 BLAS accumulation is exact
+    (and the (R, win) x (win, N) shape is MXU-shaped on device)."""
     if len(ids) == 0:
         return
     ids = np.asarray(ids, dtype=np.int64)
@@ -297,31 +302,32 @@ def _score_block(reads, ids, st, bmat, bvalid, ei, n, N, win, scores, rc, k):
     R = len(ids)
     rb = reads.bases[ids]  # (R, L)
     rq = reads.quals[ids]
-    rlen = reads.lengths[ids].astype(np.int64)
+    rlen = reads.lengths[ids].astype(np.int32)
     L = rb.shape[1]
-    pos = np.arange(win)
+    pos = np.arange(win, dtype=np.int32)
+    st32 = st.astype(np.int32)
     if not rc:
         # rpos = pos - start
-        rpos = pos[None, :] - st[:, None]
+        rpos = pos[None, :] - st32[:, None]
     else:
         # rpos = K - 2 - pos - start
-        rpos = (k - 2) - pos[None, :] - st[:, None]
+        rpos = np.int32(k - 2) - pos[None, :] - st32[:, None]
     okr = (rpos >= 0) & (rpos < rlen[:, None])
     rposc = np.clip(rpos, 0, L - 1)
     rbase = np.take_along_axis(rb, rposc, axis=1)
     rqual = np.take_along_axis(rq, rposc, axis=1)
-    q = np.zeros((R, N), dtype=np.int64)
-    for l in range(N):
-        if not rc:
-            eb = bmat[l][None, :]
-            ev = bvalid[l][None, :]
-        else:
-            # rbexts[l][s-pos-1] == rc(bexts)[s-1-pos] = complement of
-            # bexts[l][pos] — compare read base vs complement
-            eb = (3 - bmat[l])[None, :]
-            ev = bvalid[l][None, :]
-        mism = okr & ev & (rbase != eb)
-        q[:, l] = np.sum(np.where(mism, rqual, 0), axis=1)
+    # rc rows compare the read base vs the complement of the extension
+    # base (rbexts[l][s-pos-1] == complement of bexts[l][pos])
+    ebm = bmat if not rc else (3 - bmat)
+    mq = np.where(okr, rqual, 0).astype(np.float32)  # (R, win)
+    evt = np.ascontiguousarray(bvalid.T.astype(np.float32))  # (win, N)
+    tot = mq @ evt  # (R, N): qual over all valid ext positions
+    for b in range(4):
+        ext_b = np.ascontiguousarray(
+            (bvalid & (ebm == b)).T.astype(np.float32)
+        )
+        tot -= np.where(rbase == b, mq, 0.0) @ ext_b
+    q = np.rint(tot).astype(np.int64)
     # per-read best per branch
     BIG = 10**9
     qq = np.full((R, n), BIG, dtype=np.int64)

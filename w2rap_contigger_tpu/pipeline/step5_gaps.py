@@ -654,7 +654,7 @@ def assemble_gaps2(hbv, paths, reads, pair_sample=PAIR_SAMPLE,
             pair_sample, max_bpaths,
         )
 
-    pool_kind = os.environ.get("W2RAP_BLOB_POOL", "proc")
+    pool_kind = os.environ.get("W2RAP_BLOB_POOL", "thread")
     new_stuff = []
     if threads == 1:
         results = [run_blob(lr) for lr in LR]
