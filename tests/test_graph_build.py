@@ -371,3 +371,38 @@ def test_native_graph_kernel_matches_xla(rng, monkeypatch):
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
     assert gb._native_graph_lib(force=True) is not None
+
+
+def test_list_rank_native_matches_host(rng):
+    """C++ chain-walk list ranking == numpy pointer doubling on random
+    chain/cycle structures (linear-chain head/rank + on_cycle mask)."""
+    from w2rap_contigger_tpu.graph import build as gb
+
+    lib = gb._native_graph_lib(force=True)
+    if lib is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    M = 300
+    # random single-successor links with orientation symmetry:
+    # nxt[n] chosen so prev is single-valued on most nodes
+    perm = rng.permutation(2 * M).astype(np.int32)
+    nxt = np.full(2 * M, -1, dtype=np.int32)
+    # chain the permutation in segments, leaving some -1 breaks and a few
+    # closed loops
+    i = 0
+    while i < 2 * M - 1:
+        seg = int(rng.integers(2, 12))
+        j = min(i + seg, 2 * M - 1)
+        for t in range(i, j):
+            nxt[perm[t]] = perm[t + 1]
+        if rng.random() < 0.3:
+            nxt[perm[j]] = perm[i]  # close a loop
+        i = j + 1
+    n_iters = max(1, int(np.ceil(np.log2(2 * M + 1))) + 1)
+    h1, r1, c1 = gb._list_rank_host(nxt, n_iters)
+    h2, r2, c2 = gb._list_rank_native(lib, nxt)
+    np.testing.assert_array_equal(c1, c2)
+    lin = ~c1
+    np.testing.assert_array_equal(h1[lin], h2[lin])
+    np.testing.assert_array_equal(r1[lin], r2[lin])

@@ -172,3 +172,42 @@ def test_native_slot_overflow_rerun(rng, monkeypatch):
     np.testing.assert_array_equal(p0.offsets, p1.offsets)
     np.testing.assert_array_equal(p0.edges, p1.edges)
     np.testing.assert_array_equal(p0.start, p1.start)
+
+
+def test_path_flat_native_matches_xla(rng, monkeypatch):
+    """Native w2rap_path_flat == the XLA chunk path on multi-segment
+    flat pools (step-3 translation planes, then full decode)."""
+    from w2rap_contigger_tpu.graph import build as gb
+    from w2rap_contigger_tpu.ops import kmer_engine as ke
+    from w2rap_contigger_tpu.paths import flat_pather
+
+    k = 48
+    genome = rng.integers(0, 4, size=2500).astype(np.uint8)
+    segs = []
+    for _ in range(40):
+        s = int(rng.integers(0, len(genome) - 300))
+        ln = int(rng.integers(30, 300))  # some below k -> empty paths
+        segs.append(genome[s : s + ln])
+    seg_off = np.zeros(len(segs) + 1, dtype=np.int64)
+    seg_off[1:] = np.cumsum([len(s) for s in segs])
+    flat = np.concatenate(segs)
+    gflat = np.concatenate([genome, np.zeros(1, np.uint8)])
+    gseg = np.array([0, len(genome)], dtype=np.int64)
+    d = ke.count_kmers_flat(genome, gseg, k, min_freq=1)
+    gb.recompute_adjacencies(d)
+    eb, es = gb.build_unitigs(d)
+    hbv, fx, rx = gb.build_hbv_from_edges(eb, es, k)
+
+    p1, st1, sp1 = flat_pather.path_flat_sequences(
+        flat, seg_off, d, hbv, fx, rx
+    )
+    monkeypatch.setenv("W2RAP_NATIVE_PATH", "0")
+    p2, st2, sp2 = flat_pather.path_flat_sequences(
+        flat, seg_off, d, hbv, fx, rx
+    )
+    assert len(p1) == len(p2)
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(st1, st2)
+    np.testing.assert_array_equal(sp1, sp2)
+    assert sum(len(a) for a in p1) > 0

@@ -187,6 +187,26 @@ def _build_links_host(words, ctx, k: int):
     return np.where(ok, v, -1).astype(np.int32)
 
 
+def _list_rank_native(lib, nxt):
+    """C++ sequential chain-walk list ranking (native/graph_kernel.cc):
+    O(N) vs pointer doubling's O(N log N) gather passes; identical
+    head/rank on linear chains, identical on_cycle mask."""
+    import ctypes
+
+    nxt = np.ascontiguousarray(nxt, dtype=np.int32)
+    n2 = len(nxt)
+    head = np.empty(n2, dtype=np.int32)
+    rank = np.empty(n2, dtype=np.int32)
+    cyc = np.empty(n2, dtype=np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.w2rap_list_rank(
+        nxt.ctypes.data_as(i32p), ctypes.c_int64(n2),
+        head.ctypes.data_as(i32p), rank.ctypes.data_as(i32p),
+        cyc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return head, rank, cyc.astype(bool)
+
+
 def _list_rank_host(nxt, n_iters: int):
     """Numpy pointer-doubling list ranking (mirror of _list_rank_dev)."""
     N2 = len(nxt)
@@ -460,10 +480,11 @@ def build_unitigs(d, mesh=None, host=False):
         if lib is not None:
             nxt = _build_links_native(lib, d.words,
                                       d.ctx.astype(np.uint32), k)
+            head, rank, on_cycle = _list_rank_native(lib, nxt)
         else:
             nxt = _build_links_host(d.words, d.ctx.astype(np.uint32), k)
-        rank_iters = max(1, int(np.ceil(np.log2(2 * M + 1))) + 1)
-        head, rank, on_cycle = _list_rank_host(nxt, rank_iters)
+            rank_iters = max(1, int(np.ceil(np.log2(2 * M + 1))) + 1)
+            head, rank, on_cycle = _list_rank_host(nxt, rank_iters)
     else:
         # device work runs on the quantum-padded dict (stable jit
         # shapes); padded sentinel rows have empty contexts so they form

@@ -249,4 +249,47 @@ void w2rap_build_links(const uint32_t* words, const uint32_t* ctx,
     });
 }
 
+// List ranking over the oriented-node successor links: head = start of
+// each node's prev-chain, rank = #prev steps to it, on_cycle for nodes
+// on closed loops.  Sequential chain walks are O(N) where the numpy
+// pointer-doubling mirror (graph/build._list_rank_host) pays
+// O(N log N) gather passes.  prev[n] = rc(nxt[rc(n)]) by orientation
+// symmetry; results match pointer doubling exactly on linear chains
+// (cycle nodes only feed the on_cycle mask downstream).
+void w2rap_list_rank(const int32_t* nxt, int64_t n2, int32_t* head,
+                     int32_t* rank, uint8_t* on_cycle) {
+    const int64_t M = n2 / 2;
+    std::vector<int32_t> prev(n2), succ(n2, -1);
+    for (int64_t n = 0; n < n2; ++n) {
+        int64_t rc_n = n < M ? n + M : n - M;
+        int32_t nr = nxt[rc_n];
+        prev[n] = nr < 0 ? -1 : (nr < M ? (int32_t)(nr + M)
+                                        : (int32_t)(nr - M));
+    }
+    for (int64_t n = 0; n < n2; ++n)
+        if (prev[n] >= 0) succ[prev[n]] = (int32_t)n;
+    std::vector<uint8_t> seen(n2, 0);
+    for (int64_t h = 0; h < n2; ++h) {
+        if (prev[h] >= 0) continue;  // not a chain head
+        int32_t cur = (int32_t)h, r = 0;
+        while (cur >= 0 && !seen[cur]) {
+            seen[cur] = 1;
+            head[cur] = (int32_t)h;
+            rank[cur] = r++;
+            on_cycle[cur] = 0;
+            cur = succ[cur];
+        }
+    }
+    // anything unvisited sits on a closed loop (or hangs off one via a
+    // malformed multi-successor link — either way it never ranks on a
+    // linear chain): mark on_cycle, self head
+    for (int64_t n = 0; n < n2; ++n) {
+        if (!seen[n]) {
+            head[n] = (int32_t)n;
+            rank[n] = 0;
+            on_cycle[n] = 1;
+        }
+    }
+}
+
 }  // extern "C"

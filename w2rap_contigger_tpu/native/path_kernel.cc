@@ -242,4 +242,113 @@ int32_t w2rap_path_leaf(const uint8_t* bases, const int32_t* lengths,
     return mx;
 }
 
+// Flat-sequence pathing (step 3's place-walk translation,
+// Repath.cc:140-196): per segment, the same rolling window + predictor
+// + prefix binary search fills the (n_pos,) oriented-edge/offset planes
+// that paths/flat_pather.path_flat_sequences decodes (positions outside
+// any segment's kmer range stay -1; the decode never reads them).
+int64_t w2rap_path_flat(const uint8_t* flat, const int64_t* seg,
+                        int64_t n_seg, int32_t k, int32_t W,
+                        const uint32_t* dict_words, int64_t m,
+                        const int32_t* kdef_edge, const int32_t* kdef_off,
+                        const uint8_t* kdef_rc, const int32_t* fwd_xlat,
+                        const int32_t* rev_xlat, const int32_t* ekm,
+                        int64_t n_edges0, int32_t n_threads,
+                        int32_t* out_e, int32_t* out_off) {
+    std::vector<int64_t> lut(65538);
+    {
+        int64_t r = 0;
+        for (int64_t b = 0; b <= 65536; ++b) {
+            while (r < m && (int64_t)(dict_words[r * W] >> 16) < b) ++r;
+            lut[b] = r;
+        }
+        lut[65537] = m;
+    }
+    std::vector<int64_t> erow(n_edges0 + 1, 0);
+    std::vector<int32_t> eperm(m);
+    {
+        for (int64_t i = 0; i < m; ++i) erow[kdef_edge[i] + 1]++;
+        for (int64_t e = 0; e < n_edges0; ++e) erow[e + 1] += erow[e];
+        for (int64_t i = 0; i < m; ++i)
+            eperm[erow[kdef_edge[i]] + kdef_off[i]] = (int32_t)i;
+    }
+    const int pad = 2 * (16 * W - k);
+    int nt = n_threads > 0 ? n_threads : 1;
+    if (nt > n_seg) nt = n_seg > 0 ? (int)n_seg : 1;
+
+    auto work = [&](int64_t s0, int64_t s1) {
+        std::vector<uint32_t> fwd(W), rc(W);
+        for (int64_t s = s0; s < s1; ++s) {
+            const int64_t a = seg[s], b = seg[s + 1];
+            if (b - a < k) continue;
+            std::fill(fwd.begin(), fwd.end(), 0u);
+            std::fill(rc.begin(), rc.end(), 0u);
+            for (int i = 0; i < k; ++i) {
+                uint32_t c = flat[a + i] & 3;
+                fwd[i >> 4] |= c << (30 - 2 * (i & 15));
+                uint32_t cb = 3 - c;
+                int ri = k - 1 - i;
+                rc[ri >> 4] |= cb << (30 - 2 * (ri & 15));
+            }
+            int64_t pred_row = -1;
+            for (int64_t p = a;; ++p) {
+                bool is_rev = canon_is_rev(fwd.data(), rc.data(), W);
+                const uint32_t* canon = is_rev ? rc.data() : fwd.data();
+                int64_t i = -1;
+                if (pred_row >= 0) {
+                    const uint32_t* pr = dict_words + pred_row * W;
+                    bool eq = true;
+                    for (int j = 0; j < W; ++j)
+                        if (pr[j] != canon[j]) { eq = false; break; }
+                    if (eq) i = pred_row;
+                }
+                if (i < 0) {
+                    uint32_t b16 = canon[0] >> 16;
+                    i = find_row(dict_words, W, lut[b16], lut[b16 + 1],
+                                 canon);
+                }
+                if (i >= 0) {
+                    int32_t e0 = kdef_edge[i];
+                    bool rcf = is_rev ^ (kdef_rc[i] != 0);
+                    int32_t km = ekm[e0];
+                    int32_t off0 = kdef_off[i];
+                    out_e[p] = rcf ? rev_xlat[e0] : fwd_xlat[e0];
+                    out_off[p] = rcf ? km - 1 - off0 : off0;
+                    int32_t noff = rcf ? off0 - 1 : off0 + 1;
+                    pred_row = (noff >= 0 && noff < km)
+                                   ? (int64_t)eperm[erow[e0] + noff]
+                                   : -1;
+                } else {
+                    out_e[p] = -1;
+                    out_off[p] = 0;
+                    pred_row = -1;
+                }
+                if (p + k >= b) break;
+                uint32_t nb = flat[p + k] & 3;
+                for (int j = 0; j < W - 1; ++j)
+                    fwd[j] = (fwd[j] << 2) | (fwd[j + 1] >> 30);
+                fwd[W - 1] <<= 2;
+                int li = k - 1;
+                fwd[li >> 4] |= nb << (30 - 2 * (li & 15));
+                if (pad) fwd[W - 1] &= (0xFFFFFFFFu >> pad) << pad;
+                for (int j = W - 1; j > 0; --j)
+                    rc[j] = (rc[j] >> 2) | (rc[j - 1] << 30);
+                rc[0] = (rc[0] >> 2) | ((3 - nb) << 30);
+                if (pad) rc[W - 1] &= (0xFFFFFFFFu >> pad) << pad;
+            }
+        }
+    };
+    if (nt <= 1) {
+        work(0, n_seg);
+    } else {
+        std::vector<std::thread> ths;
+        for (int t = 0; t < nt; ++t) {
+            int64_t a = n_seg * t / nt, b2 = n_seg * (t + 1) / nt;
+            if (a < b2) ths.emplace_back(work, a, b2);
+        }
+        for (auto& th : ths) th.join();
+    }
+    return 0;
+}
+
 }  // extern "C"

@@ -35,8 +35,30 @@ def nwords(k: int) -> int:
     return (k + 15) // 16
 
 
+_REV16 = None  # 2-bit-group reversal of a 16-bit half, lazy (65536 u32)
+
+
+def _rev16_table():
+    global _REV16
+    if _REV16 is None:
+        x = np.arange(65536, dtype=np.uint32)
+        x = ((x & np.uint32(0x3333)) << 2) | ((x >> 2) & np.uint32(0x3333))
+        x = ((x & np.uint32(0x0F0F)) << 4) | ((x >> 4) & np.uint32(0x0F0F))
+        x = ((x & np.uint32(0x00FF)) << 8) | ((x >> 8) & np.uint32(0x00FF))
+        _REV16 = x
+    return _REV16
+
+
 def revpair32(w):
     """Reverse the sixteen 2-bit groups inside each uint32."""
+    if isinstance(w, np.ndarray):
+        # two cache-resident table gathers beat 7 full-array temporaries
+        # (rc_words over multi-million-row dictionaries is a measured
+        # step-2/3 host cost)
+        t = _rev16_table()
+        return (t[w & np.uint32(0xFFFF)] << np.uint32(16)) | t[
+            w >> np.uint32(16)
+        ]
     w = ((w & M2) << 2) | ((w >> 2) & M2)
     w = ((w & M4) << 4) | ((w >> 4) & M4)
     w = ((w & M8) << 8) | ((w >> 8) & M8)

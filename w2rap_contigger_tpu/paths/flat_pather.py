@@ -45,6 +45,43 @@ _lookup_flat_chunk = functools.partial(
 )(_lookup_flat_core)
 
 
+def _path_flat_native_fill(lib, flat_bases, seg_offsets, d, hbv,
+                           fwd_xlat, rev_xlat, k, all_e, all_o):
+    """One C++ pass over all segments filling the (n_pos,) oriented
+    edge/offset planes (native/path_kernel.cc:w2rap_path_flat)."""
+    import ctypes
+    import os
+
+    flat = np.ascontiguousarray(flat_bases, dtype=np.uint8)
+    seg = np.ascontiguousarray(seg_offsets, dtype=np.int64)
+    words = np.ascontiguousarray(d.words, dtype=np.uint32)
+    eid = np.ascontiguousarray(d.edge_id, dtype=np.int32)
+    eoff = np.ascontiguousarray(d.edge_offset, dtype=np.int32)
+    erc = np.ascontiguousarray(d.edge_rc, dtype=np.uint8)
+    fx = np.ascontiguousarray(fwd_xlat, dtype=np.int32)
+    rx = np.ascontiguousarray(rev_xlat, dtype=np.int32)
+    ekm = np.ascontiguousarray(
+        (np.diff(hbv.edge_start) - k + 1)[fwd_xlat].astype(np.int32)
+    )
+    nt = int(os.environ.get("OMP_NUM_THREADS", "0")) or (os.cpu_count() or 1)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.w2rap_path_flat.restype = ctypes.c_int64
+    lib.w2rap_path_flat(
+        flat.ctypes.data_as(u8p), seg.ctypes.data_as(i64p),
+        ctypes.c_int64(len(seg) - 1), ctypes.c_int32(k),
+        ctypes.c_int32(words.shape[1] if words.ndim == 2 else 1),
+        words.ctypes.data_as(u32p), ctypes.c_int64(d.size),
+        eid.ctypes.data_as(i32p), eoff.ctypes.data_as(i32p),
+        erc.ctypes.data_as(u8p), fx.ctypes.data_as(i32p),
+        rx.ctypes.data_as(i32p), ekm.ctypes.data_as(i32p),
+        ctypes.c_int64(len(ekm)), ctypes.c_int32(nt),
+        all_e.ctypes.data_as(i32p), all_o.ctypes.data_as(i32p),
+    )
+
+
 def path_flat_sequences(
     flat_bases, seg_offsets, d, hbv, fwd_xlat, rev_xlat,
     chunk_pos: int | None = None, host: bool = False, mesh=None,
@@ -72,6 +109,22 @@ def path_flat_sequences(
     T = len(flat_bases)
     S = len(seg_offsets) - 1
     n_pos = max(T - k + 1, 0)
+    native_done = False
+    all_e = np.full(n_pos, -1, dtype=np.int32)
+    all_o = np.zeros(n_pos, dtype=np.int32)
+    if mesh is None and n_pos > 0:
+        # native C++ pather (same predictor+search machinery as read
+        # pathing) — the XLA per-position lookup was 15s of the
+        # north-star step-3 wall, the host numpy fallback similar
+        from . import pather as _pather
+
+        nlib = _pather._native_path_lib(force=d.dev is None or host)
+        if nlib is not None:
+            _path_flat_native_fill(
+                nlib, flat_bases, seg_offsets, d, hbv, fwd_xlat,
+                rev_xlat, k, all_e, all_o,
+            )
+            native_done = True
     if mesh is not None and n_pos > 0:
         from ..parallel import mesh as pmesh
 
@@ -81,9 +134,9 @@ def path_flat_sequences(
         chunk_pos = min(
             chunk_pos, ke._quantize_octave(max(1, -(-n_pos // D)), 1024)
         )
-    all_e = np.full(n_pos, -1, dtype=np.int32)
-    all_o = np.zeros(n_pos, dtype=np.int32)
-    if host:
+    if native_done:
+        pass
+    elif host:
         from ..graph.build import _rows_bytes, _search_host
 
         tb = _rows_bytes(d.words)
