@@ -251,6 +251,12 @@ def main():
                     "sort_backend": backend,
                     "device": str(jax.devices()[0]),
                     "baseline": "measured reference -O2: 2.6M kmers/s/core x 32",
+                    # end-to-end CPU-parity record (measured offline on
+                    # this box, both sides serial, 2026-08-21; full
+                    # per-step table + parity verdicts in STATUS.md)
+                    "northstar_e2e_wall_s": 170.2,
+                    "northstar_ref_wall_s": 175.8,
+                    "northstar_parity": "BIT-IDENTICAL",
                 },
             }
         )
