@@ -883,18 +883,163 @@ def _reachable_edges(hbv, seed_edges, forward=True, blocked=frozenset()):
     return out
 
 
-def add_new_stuff(hbv, paths, reads, new_stuff, chunk_reads=16384):
-    """AddNewStuff (GapToyTools4.cc:199): rebuild the global K graph from
-    the old edges + new_stuff, then re-path + extend all reads."""
+def _overlap_append(v1, v2):
+    """OverlapAppend (Vec.h:612): append v2 to v1 minus the longest
+    suffix-of-v1 == prefix-of-v2 overlap."""
+    best = 0
+    for overl in range(min(len(v1), len(v2)), 0, -1):
+        if v1[-overl:] == v2[:overl]:
+            best = overl
+            break
+    v1.extend(v2[best:])
+    return v1
+
+
+def _translate_paths(paths, hbv2, to3, left3):
+    """TranslatePaths (GapToyTools4.cc:164): map every read path through
+    the old-edge -> new-edge-path table; output paths have <= 1 edge.
+
+    The common case (start lands on the first new edge) is resolved by
+    batched gathers; only boundary-crossing reads walk the
+    OverlapAppend chain in Python.
+    """
+    from ..paths.read_paths import ReadPathVec
+
+    n = paths.n_reads
+    elens2 = np.asarray(hbv2.edge_len())
+    kmers2 = elens2 - hbv2.k + 1
+    plens = paths.path_len()
+    off_arr = np.asarray(paths.offsets)
+    pe = np.asarray(paths.edges)
+
+    t_len = np.array([len(t) for t in to3], dtype=np.int64)
+    t_first = np.array(
+        [t[0] if len(t) else -1 for t in to3], dtype=np.int64
+    )
+
+    new_edge = np.full(n, -1, dtype=np.int64)
+    new_off = np.zeros(n, dtype=np.int32)
+    nz = np.flatnonzero(plens > 0)
+    if len(nz):
+        e0 = pe[off_arr[:-1][nz]]
+        start = paths.start[nz].astype(np.int64) + left3[e0]
+        has = t_len[e0] > 0
+        fits = has & (
+            start < elens2[np.maximum(t_first[e0], 0)]
+        )
+        easy = nz[fits]
+        new_edge[easy] = t_first[e0[fits]]
+        new_off[easy] = start[fits]
+        # boundary-crossing reads: walk the concatenated translation
+        for i, rid in enumerate(nz[has & ~fits]):
+            rid = int(rid)
+            p = paths.path(rid)
+            pp = list(to3[int(p[0])])
+            for e in p[1:]:
+                t = to3[int(e)]
+                if not t:
+                    break
+                _overlap_append(pp, t)
+            st = int(paths.start[rid]) + int(left3[int(p[0])])
+            trim = 0
+            while trim < len(pp) and st >= int(elens2[pp[trim]]):
+                st -= int(kmers2[pp[trim]])
+                trim += 1
+            if trim < len(pp):
+                new_edge[rid] = pp[trim]
+                new_off[rid] = st
+
+    keep = new_edge >= 0
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    offsets[1:] = np.cumsum(keep.astype(np.int64))
+    flat = new_edge[keep].astype(np.int32)
+    starts = np.where(keep, new_off, 0).astype(np.int32)
+    return ReadPathVec(offsets, flat, starts)
+
+
+def _extend_path_ref(p, start, hbv, g, rb, rq, n, min_gain, mode):
+    """ExtendPath (GapToyTools4.cc:278): extend a path rightward to
+    cover the read; accept only when the best extension's qual-mismatch
+    sum beats the runner-up by >= min_gain (mode 1)."""
+    K = hbv.k
+    if start < 0:
+        return p
+    rstop = int(g.elen[p[0]]) - start
+    for e in p[1:]:
+        rstop += int(g.ekmers[e])
+    ext = n - rstop
+    if ext <= 0:
+        return p
+    v = int(hbv.to_right[p[-1]])
+    if g.out_deg[v] == 0:
+        return p
+    exts = [[]]
+    exts_len = [0]
+    j = 0
+    while j < len(exts):
+        if j > 100:
+            return p  # too many extensions
+        if exts_len[j] < ext:
+            y = int(hbv.to_right[exts[j][-1]]) if exts[j] else v
+            for e2 in g.fe[g.fo[y] : g.fo[y + 1]]:
+                e2 = int(e2)
+                exts.append(exts[j] + [e2])
+                exts_len.append(exts_len[j] + int(g.ekmers[e2]))
+        j += 1
+    cand = [
+        (e, el) for e, el in zip(exts, exts_len) if el >= ext
+    ]
+    if not cand:
+        return p
+    r = rb[n - ext : n]
+    qtail = rq[n - ext : n].astype(np.int64)
+    scored = []
+    for e, _el in cand:
+        bs = np.concatenate(
+            [hbv.edge_seq(x)[K - 1 :] for x in e]
+        )
+        qs = int(np.sum(qtail[: ext][r != bs[:ext]]))
+        scored.append((qs, e))
+    # SortSync(qsum, exts): lexicographic (qsum, path) like the
+    # reference's pair sort
+    scored.sort(key=lambda t: (t[0], t[1]))
+    if mode == 1:
+        if len(scored) >= 2 and scored[1][0] - scored[0][0] < min_gain:
+            return p
+        return p + scored[0][1]
+    m = 1
+    while m < len(scored) and scored[m][0] - scored[0][0] < min_gain:
+        m += 1
+    out = list(p)
+    for j2, e2 in enumerate(scored[0][1]):
+        for l in range(1, m):
+            if j2 >= len(scored[l][1]) or scored[l][1][j2] != e2:
+                return p
+        out.append(e2)
+    return out
+
+
+def add_new_stuff(hbv, paths, reads, new_stuff, chunk_reads=16384,
+                  min_gain=5, ext_mode=1):
+    """AddNewStuff (GapToyTools4.cc:199): rebuild the global K graph
+    from the old edges + new_stuff, then TRANSLATE the existing read
+    paths through the old-edge -> new-path map and re-extend.
+
+    The reference never re-paths reads here (TranslatePaths +
+    ExtendPath) — at K > read length (K=260 on PE250) a read holds no
+    kmer at all, so fresh re-pathing would empty every path (the
+    round-4 16Mbp failure mode)."""
     from ..graph import build as gb
     from ..ops import kmer_engine as ke
     from ..paths import extend as extend_mod
-    from ..paths import pather as pather_mod
+    from ..paths import flat_pather
 
     if not new_stuff:
         return hbv, paths
     k = hbv.k
-    seqs = [hbv.edge_seq(e) for e in range(hbv.n_edges)] + list(new_stuff)
+    E = hbv.n_edges
+    old_seqs = [hbv.edge_seq(e) for e in range(E)]
+    seqs = old_seqs + list(new_stuff)
     seqs = [s for s in seqs if len(s) >= k]
     seg = np.zeros(len(seqs) + 1, dtype=np.int64)
     seg[1:] = np.cumsum([len(s) for s in seqs])
@@ -903,7 +1048,70 @@ def add_new_stuff(hbv, paths, reads, new_stuff, chunk_reads=16384):
     gb.recompute_adjacencies(d)
     eb, es = gb.build_unitigs(d)
     hbv2, fx, rx = gb.build_hbv_from_edges(eb, es, k)
-    paths2 = pather_mod.path_reads(reads, d, hbv2, fx, rx,
-                                   chunk_reads=chunk_reads)
-    paths2 = extend_mod.extend_paths(reads, paths2, hbv2)
+
+    # to3/left3: walk the OLD edges through the new graph
+    # (buildBigKHBVFromReads' allx_paths for the first E entries)
+    oseg = np.zeros(E + 1, dtype=np.int64)
+    oseg[1:] = np.cumsum([len(s) for s in old_seqs])
+    oflat = (
+        np.concatenate(old_seqs) if old_seqs else np.zeros(0, np.uint8)
+    )
+    ipaths, starts3, _stops3 = flat_pather.path_flat_sequences(
+        oflat, oseg, d, hbv2, fx, rx
+    )
+    to3 = [[int(x) for x in q] for q in ipaths]
+    left3 = starts3.astype(np.int64)
+
+    paths2 = _translate_paths(paths, hbv2, to3, left3)
+
+    # ExtendPath over every translated read (single-edge paths; the
+    # vectorized prefilter keeps only reads that actually extend)
+    g = extend_mod._Graph(hbv2)
+    n = paths2.n_reads
+    plens = paths2.path_len()
+    nz = np.flatnonzero(plens > 0)
+    first_e = (
+        np.asarray(paths2.edges)[np.asarray(paths2.offsets)[:-1][nz]]
+        if len(nz)
+        else np.zeros(0, np.int64)
+    )
+    st = paths2.start[nz].astype(np.int64)
+    rl = np.asarray(reads.lengths)[nz].astype(np.int64)
+    ext_amt = rl - (np.asarray(g.elen)[first_e] - st)
+    candm = (
+        (st >= 0)
+        & (ext_amt > 0)
+        & (g.out_deg[np.asarray(hbv2.to_right)[first_e]] > 0)
+    )
+    changed = {}
+    for rid, e0 in zip(nz[candm], first_e[candm]):
+        rid = int(rid)
+        p2 = _extend_path_ref(
+            [int(e0)], int(paths2.start[rid]), hbv2, g,
+            reads.bases[rid], reads.quals[rid],
+            int(reads.lengths[rid]), min_gain, ext_mode,
+        )
+        if len(p2) > 1:
+            changed[rid] = p2
+    if changed:
+        from ..paths.read_paths import ReadPathVec
+
+        new_lens = plens.copy()
+        for rid, p2 in changed.items():
+            new_lens[rid] = len(p2)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        offs[1:] = np.cumsum(new_lens)
+        flat2 = np.zeros(int(offs[-1]), dtype=np.int32)
+        rid_all = np.repeat(np.arange(n), plens)
+        local = np.arange(len(paths2.edges)) - np.repeat(
+            np.asarray(paths2.offsets)[:-1], plens
+        )
+        unchanged = np.ones(n, dtype=bool)
+        for rid in changed:
+            unchanged[rid] = False
+        m = unchanged[rid_all]
+        flat2[(offs[rid_all] + local)[m]] = np.asarray(paths2.edges)[m]
+        for rid, p2 in changed.items():
+            flat2[offs[rid] : offs[rid] + len(p2)] = p2
+        paths2 = ReadPathVec(offs, flat2, paths2.start.copy())
     return hbv2, paths2
