@@ -299,6 +299,20 @@ def _score_block(reads, ids, st, bmat, bvalid, ei, n, N, win, scores, rc, k):
         return
     ids = np.asarray(ids, dtype=np.int64)
     st = np.asarray(st, dtype=np.int64)
+    # overlap prefilter: a read whose placement misses the extension
+    # window entirely scores 0 on EVERY branch (okr all-false), ties,
+    # and can never vote — drop it before the (R, win) planes.  On
+    # near-finished graphs the collection holds every read of the
+    # mega-edges flanking a branch (measured: 3 branch vertices x
+    # millions of rows = 219s/pass at 16Mbp; ~all rows no-overlap).
+    rlen_all = np.asarray(reads.lengths)[ids].astype(np.int64)
+    if not rc:
+        keep = (st < win) & (st + rlen_all > 0)
+    else:
+        keep = (st <= k - 2) & (st >= k - rlen_all - win)
+    ids, st = ids[keep], st[keep]
+    if len(ids) == 0:
+        return
     R = len(ids)
     rb = reads.bases[ids]  # (R, L)
     rq = reads.quals[ids]
